@@ -196,9 +196,28 @@ def fill_tile_labels(
     perim += [(x, h - 1) for x in range(w)]
     perim += [(0, y) for y in range(1, h - 1)]
     perim += [(w - 1, y) for y in range(1, h - 1)]
+    seeded = np.zeros((h, w), dtype=bool)
     for x, y in perim:
         if not nd_mask[y, x]:
             heapq.heappush(open_pq, (filled[y, x], seq, x, y, 0))
+            seeded[y, x] = True
+            seq += 1
+    # data cells adjacent to NoData drain through it -> they are seeds too
+    # (NoData acts as ocean, Barnes2014.hpp:33-36)
+    if nd_mask.any():
+        adj = np.zeros((h, w), dtype=bool)
+        for n in _neigh_slots(topology):
+            sy, sx = int(D8Y[n]), int(D8X[n])
+            src = nd_mask[
+                max(0, -sy) : h - max(0, sy), max(0, -sx) : w - max(0, sx)
+            ]
+            adj[
+                max(0, sy) : h - max(0, -sy), max(0, sx) : w - max(0, -sx)
+            ] |= src
+        for y, x in zip(*np.nonzero(adj & ~nd_mask & ~seeded)):
+            heapq.heappush(
+                open_pq, (filled[y, x], seq, int(x), int(y), 0)
+            )
             seq += 1
 
     next_label = label_base

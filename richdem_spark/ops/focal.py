@@ -1,0 +1,126 @@
+"""Generic focal (stencil) operator: per-tile kernel with 1-cell halo.
+
+This is the engine's "window function" class — the 2-D analogue of
+``Window.rowsBetween(-1, 1)`` — covering all eight terrain attributes
+(``include/richdem/methods/terrain_attributes.hpp:335-354``), FindFlats,
+D8/D-inf flow directions and every FM_* flow metric.
+
+Execution shape: one O(perimeter) strip shuffle (halo_join) + one
+mapInPandas wave.  No interior data is shuffled.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..tiles import (
+    TILE_SCHEMA,
+    RasterMeta,
+    TiledRaster,
+    assemble_padded,
+    halo_join,
+    pack,
+    unpack,
+)
+
+
+def apply_focal(
+    tr: TiledRaster,
+    kernel: Callable[..., np.ndarray],
+    out_dtype: str = "float64",
+    out_nodata: float | None = None,
+    kernel_kwargs: dict | None = None,
+    op_name: str = "focal",
+    halo_fill: float | None = None,
+) -> TiledRaster:
+    """Apply ``kernel(padded_grid, **kwargs) -> grid`` per tile with halo.
+
+    The kernel sees the halo-padded array; sides on the global DEM edge are
+    left unpadded so array-border semantics == global-border semantics.
+    The core region of the kernel output is re-packed.
+    """
+    meta = tr.meta
+    kw = dict(kernel_kwargs or {})
+    nodata = meta.nodata
+    fill = halo_fill if halo_fill is not None else (
+        nodata if nodata is not None else 0.0
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("tile_x", "tile_y", "width", "height",
+                     "dtype", "nodata", "data")}
+            for r in pdf.itertuples():
+                core = unpack(r.data, r.height, r.width, r.dtype)
+                strips = (
+                    [(s["slot"], s["strip"]) for s in r.halo]
+                    if r.halo is not None
+                    else []
+                )
+                padded, pt, pl = assemble_padded(core, strips, r.dtype, fill)
+                out = kernel(padded, **kw)
+                core_out = out[pt : pt + r.height, pl : pl + r.width]
+                rows["tile_x"].append(r.tile_x)
+                rows["tile_y"].append(r.tile_y)
+                rows["width"].append(r.width)
+                rows["height"].append(r.height)
+                rows["dtype"].append(out_dtype)
+                rows["nodata"].append(out_nodata)
+                rows["data"].append(
+                    pack(core_out.astype(np.dtype(out_dtype)))
+                )
+            yield pd.DataFrame(rows)
+
+    out_df = halo_join(tr).mapInPandas(run, TILE_SCHEMA)
+    new_meta = RasterMeta(
+        width=meta.width, height=meta.height,
+        tile_w=meta.tile_w, tile_h=meta.tile_h,
+        nodata=out_nodata, dtype=out_dtype,
+        geotransform=meta.geotransform, projection=meta.projection,
+        history=meta.history,
+    ).with_history(op_name)
+    return TiledRaster(out_df, new_meta)
+
+
+def elementwise(
+    tr: TiledRaster,
+    fn: Callable[[np.ndarray], np.ndarray],
+    out_dtype: str | None = None,
+    out_nodata: float | None = ...,
+    op_name: str = "map",
+) -> TiledRaster:
+    """Per-cell map with no halo (replace/scale/classify class,
+    Array2D.hpp:544-548,1406-1410).  Zero shuffles."""
+    meta = tr.meta
+    odt = out_dtype or meta.dtype
+    ond = meta.nodata if out_nodata is ... else out_nodata
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("tile_x", "tile_y", "width", "height",
+                     "dtype", "nodata", "data")}
+            for r in pdf.itertuples():
+                a = unpack(r.data, r.height, r.width, r.dtype)
+                out = fn(a).astype(np.dtype(odt))
+                rows["tile_x"].append(r.tile_x)
+                rows["tile_y"].append(r.tile_y)
+                rows["width"].append(r.width)
+                rows["height"].append(r.height)
+                rows["dtype"].append(odt)
+                rows["nodata"].append(ond)
+                rows["data"].append(pack(out))
+            yield pd.DataFrame(rows)
+
+    out_df = tr.df.mapInPandas(run, TILE_SCHEMA)
+    m = tr.meta
+    new_meta = RasterMeta(
+        width=m.width, height=m.height, tile_w=m.tile_w, tile_h=m.tile_h,
+        nodata=ond, dtype=odt, geotransform=m.geotransform,
+        projection=m.projection, history=m.history,
+    ).with_history(op_name)
+    return TiledRaster(out_df, new_meta)

@@ -1,0 +1,105 @@
+"""Distributed operators vs the single-grid NumPy oracle kernels — the
+same cross-parallelism comparison strategy the reference uses for its MPI
+programs (programs/parallel_priority_flood/test.py,
+programs/parallel_d8_accum/test_small.sh)."""
+
+import numpy as np
+import pytest
+
+from richdem_spark.api import (
+    FillDepressions,
+    FindFlats,
+    FlowAccumulation,
+    FlowAccumulationFromDirs,
+    FlowDirectionsD8,
+    TerrainAttribute,
+)
+from richdem_spark.kernels import terrain as tkern
+from richdem_spark.kernels.ascii_io import read_ascii_grid
+from richdem_spark.kernels.d8 import d8_flow_accum, d8_flow_directions
+from richdem_spark.kernels.fill import priority_flood_fill
+from richdem_spark.tiles import raster_from_array
+
+REF = "/root/reference/tests"
+
+
+def _random_dem(seed, h=37, w=41):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 60, (h, w)).astype(np.float64)
+    return base
+
+
+@pytest.mark.parametrize("tile", [7, 16, 64])
+def test_distributed_fill_matches_kernel(spark, tile):
+    dem = _random_dem(3)
+    golden = priority_flood_fill(dem)
+    tr = raster_from_array(spark, dem, tile_w=tile, tile_h=tile)
+    got = FillDepressions(tr).to_array()
+    assert np.array_equal(got, golden)
+
+
+def test_distributed_fill_golden_fixture(spark):
+    dem, meta = read_ascii_grid(f"{REF}/depressions/testdem1.dem")
+    expected, _ = read_ascii_grid(f"{REF}/depressions/testdem1.all.out")
+    tr = raster_from_array(spark, dem, tile_w=4, tile_h=4,
+                           nodata=meta["nodata_value"])
+    got = FillDepressions(tr).to_array()
+    assert np.array_equal(got, expected)
+
+
+@pytest.mark.parametrize("tile", [7, 16])
+def test_distributed_flowdirs_match_kernel(spark, tile):
+    dem = priority_flood_fill(_random_dem(5))
+    golden = d8_flow_directions(dem)
+    tr = raster_from_array(spark, dem, tile_w=tile, tile_h=tile)
+    got = FlowDirectionsD8(tr).to_array()
+    assert np.array_equal(got, golden)
+
+
+@pytest.mark.parametrize("tile", [5, 13, 64])
+def test_distributed_accum_matches_kernel(spark, tile):
+    dem = priority_flood_fill(_random_dem(11))
+    dirs = d8_flow_directions(dem)
+    golden = d8_flow_accum(dirs)
+    tr = raster_from_array(spark, dem, tile_w=tile, tile_h=tile)
+    got = FlowAccumulation(tr, "D8").to_array()
+    assert np.array_equal(got, golden)
+    # mass conservation: every data cell contributes exactly once and all
+    # flow reaches the edge or a sink; totals must match the oracle
+    assert got.sum() == golden.sum()
+
+
+def test_distributed_accum_golden_fixture(spark):
+    dirs, meta = read_ascii_grid(f"{REF}/flow_accum/testdem5.d8")
+    nodata = meta["nodata_value"]
+    d = dirs.astype(np.int64)
+    d[dirs == nodata] = 255
+    expected, _ = read_ascii_grid(f"{REF}/flow_accum/testdem5.out")
+    tr = raster_from_array(spark, d.astype(np.uint8), tile_w=3, tile_h=4,
+                           nodata=255.0)
+    got = FlowAccumulationFromDirs(tr).to_array()
+    assert np.array_equal(got, expected)
+
+
+def test_terrain_attributes_match_kernel(spark):
+    dem = _random_dem(13).astype(np.float64)
+    tr = raster_from_array(spark, dem, tile_w=16, tile_h=16)
+    for attrib, kern in [
+        ("slope_riserun", tkern.slope_riserun),
+        ("aspect", tkern.aspect),
+        ("curvature", tkern.curvature),
+        ("profile_curvature", tkern.profile_curvature),
+        ("planform_curvature", tkern.planform_curvature),
+    ]:
+        golden = kern(dem)
+        got = TerrainAttribute(tr, attrib).to_array()
+        assert np.allclose(got, golden, atol=1e-12), attrib
+
+
+def test_find_flats_matches_kernel(spark):
+    dem = _random_dem(17)
+    dem[10:20, 10:20] = 5.0  # a flat
+    golden = tkern.find_flats(dem)
+    tr = raster_from_array(spark, dem, tile_w=8, tile_h=8)
+    got = FindFlats(tr).to_array()
+    assert np.array_equal(got, golden)
