@@ -1,0 +1,105 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline set = the BASELINE.md metric surface: webtext rasterization ->
+Priority-Flood fill -> D8 accumulation (the hydrology pipeline on a
+synthetic webtext DEM), the PIP/kNN spatial joins, and the heaviest
+relational/training-data queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "200000"))
+GRID = int(os.environ.get("SPARK_GRAFT_GRID", "1024"))
+TILE = int(os.environ.get("SPARK_GRAFT_TILE", "256"))
+
+
+def main() -> None:
+    from richdem_spark.session import get_spark
+
+    spark = get_spark(app="richdem_spark_bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+    from richdem_spark.api import (
+        FillDepressions,
+        FlowAccumulationFromDirs,
+        FlowDirectionsD8,
+        TerrainAttribute,
+    )
+    from richdem_spark.webtext import geocode, rasterize_pages, synth_webtext
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- hydrology pipeline on the synthetic webtext table -------------
+    pages = synth_webtext(spark, N_PAGES).persist()
+    timed("webtext_synth", lambda: pages.count())
+    geo = geocode(pages)
+    dem = timed(
+        "rasterize",
+        lambda: rasterize_pages(geo, grid=GRID, tile=TILE).persist(),
+    )
+    timed("rasterize_materialize", lambda: dem.df.count())
+    filled = timed("fill_depressions",
+                   lambda: FillDepressions(dem).persist())
+    timed("fill_materialize", lambda: filled.df.count())
+    dirs = timed("flow_directions", lambda: FlowDirectionsD8(filled)
+                 .persist())
+    timed("dirs_materialize", lambda: dirs.df.count())
+    acc = timed("flow_accumulation",
+                lambda: FlowAccumulationFromDirs(dirs))
+    timed("accum_materialize", lambda: acc.df.count())
+    timed("terrain_slope",
+          lambda: TerrainAttribute(filled, "slope_riserun").df.count())
+
+    # --- driver-table queries ------------------------------------------
+    queries = em.queries()
+    for name in (
+        "rasterize_cells", "pip_assign", "knn_sites", "dedup_exact",
+        "minhash_lsh_pairs", "ngram_jaccard", "simhash", "cosine_topk",
+        "pricing_summary", "top_events_per_user",
+    ):
+        timed(name, lambda n=name: queries[n](spark, SF_DIR)
+              .write.format("noop").mode("overwrite").save())
+
+    total = round(sum(timings.values()), 3)
+    cells = GRID * GRID
+    hydro = (
+        timings["fill_depressions"] + timings["fill_materialize"]
+        + timings["flow_directions"] + timings["dirs_materialize"]
+        + timings["flow_accumulation"] + timings["accum_materialize"]
+    )
+    print(json.dumps({
+        "metric": "headline suite wall time (webtext rasterize + "
+                  "priority-flood fill + d8 accum + spatial joins + "
+                  "training-data ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cells": cells,
+        "pages": N_PAGES,
+        "hydrology_cells_per_sec": round(cells / max(hydro, 1e-9)),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,226 @@
+"""Spatial joins on the shared cell index (north_rule): point-in-polygon
+watershed assignment, kNN pour-point matching, raster<->vector pairing.
+
+All joins are **cell-key equi-joins + in-cell refinement**: the big side
+(pages) is keyed by spatial-index cell; the small side (polygons / pour
+points) is exploded into its covering cells and broadcast.  Skewed cells
+(cities) are handled by AQE skew-join plus the salted aggregation in
+webtext.rasterize_pages.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .spatial_index import cell_id, cell_to_xy, lonlat_to_bins
+from .tiles import TiledRaster, unpack
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon
+# ---------------------------------------------------------------------------
+
+def point_in_polygon(px: np.ndarray, py: np.ndarray,
+                     ring_x: np.ndarray, ring_y: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray cast: True where (px,py) inside ring."""
+    inside = np.zeros(px.shape, dtype=bool)
+    n = len(ring_x)
+    for i in range(n):
+        x1, y1 = ring_x[i], ring_y[i]
+        x2, y2 = ring_x[(i + 1) % n], ring_y[(i + 1) % n]
+        cond = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        inside ^= cond & (px < xin)
+    return inside
+
+
+def polygon_cover_cells(ring_lon, ring_lat, level: int) -> list[int]:
+    """Index cells covering a polygon's bbox (coarse cover; refinement is
+    the exact PIP test)."""
+    x0, y0 = lonlat_to_bins(min(ring_lon), max(ring_lat), level)
+    x1, y1 = lonlat_to_bins(max(ring_lon), min(ring_lat), level)
+    out = []
+    from .spatial_index import _spread_bits
+
+    for yy in range(int(y0), int(y1) + 1):
+        for xx in range(int(x0), int(x1) + 1):
+            m = int(_spread_bits(np.array([xx], np.uint64))[0]) | (
+                int(_spread_bits(np.array([yy], np.uint64))[0]) << 1
+            )
+            out.append((level << 58) | m)
+    return out
+
+
+def assign_points_to_polygons(
+    points: DataFrame,  # (…, lat, lon)
+    polygons: list[dict],  # [{'id': int, 'lon': [...], 'lat': [...]}]
+    level: int = 6,
+    point_id_col: str = "url",
+) -> DataFrame:
+    """PIP assignment: broadcast cell->candidate-polygon table, equi-join
+    on the point's cell, refine with the exact ray cast in a vectorized
+    pandas stage.  Returns (point_id, polygon_id)."""
+    spark = points.sparkSession
+    cover_rows = []
+    for p in polygons:
+        for c in polygon_cover_cells(p["lon"], p["lat"], level):
+            cover_rows.append((int(np.int64(np.uint64(c) & np.uint64(
+                0x7FFFFFFFFFFFFFFF))), int(p["id"])))
+    cover = spark.createDataFrame(
+        cover_rows, StructType([
+            StructField("cell", LongType(), False),
+            StructField("polygon_id", IntegerType(), False),
+        ])
+    )
+    polys_b = {int(p["id"]): (np.asarray(p["lon"], float),
+                              np.asarray(p["lat"], float))
+               for p in polygons}
+
+    @F.pandas_udf(LongType())
+    def cell_of(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        c = cell_id(lon.to_numpy(), lat.to_numpy(), level)
+        return pd.Series((c & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(
+            np.int64))
+
+    pts = points.withColumn("cell", cell_of("lon", "lat"))
+    cand = pts.join(F.broadcast(cover), "cell")
+
+    schema = StructType([
+        StructField("point_id", cand.schema[point_id_col].dataType, False),
+        StructField("polygon_id", IntegerType(), False),
+    ])
+    bpolys = spark.sparkContext.broadcast(polys_b)
+
+    def refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pb = bpolys.value
+        for pdf in it:
+            keep_id, keep_poly = [], []
+            for pid, grp in pdf.groupby("polygon_id"):
+                lon_r, lat_r = pb[int(pid)]
+                ins = point_in_polygon(
+                    grp["lon"].to_numpy(), grp["lat"].to_numpy(),
+                    lon_r, lat_r,
+                )
+                keep_id.extend(grp[point_id_col].to_numpy()[ins].tolist())
+                keep_poly.extend([int(pid)] * int(ins.sum()))
+            yield pd.DataFrame({"point_id": keep_id,
+                                "polygon_id": keep_poly})
+
+    return cand.select(point_id_col, "lon", "lat", "polygon_id") \
+        .mapInPandas(refine, schema)
+
+
+# ---------------------------------------------------------------------------
+# kNN pour-point matching
+# ---------------------------------------------------------------------------
+
+def knn_join(
+    points: DataFrame,  # big side: (…, lat, lon)
+    sites: list[tuple[int, float, float]],  # (site_id, lat, lon) small side
+    k: int = 3,
+    point_id_col: str = "url",
+) -> DataFrame:
+    """k nearest sites per point.  The site table is tiny (pour points =
+    depression outlets), so it is broadcast whole and the per-point top-k
+    is computed vectorized — the cell-ring expansion variant only pays off
+    once |sites| no longer fits an executor broadcast."""
+    spark = points.sparkSession
+    arr = np.array([(s[1], s[2]) for s in sites], dtype=np.float64)
+    ids = np.array([s[0] for s in sites], dtype=np.int64)
+    b = spark.sparkContext.broadcast((arr, ids))
+
+    schema = StructType([
+        StructField("point_id", points.schema[point_id_col].dataType,
+                    False),
+        StructField("site_id", LongType(), False),
+        StructField("rank", IntegerType(), False),
+        StructField("dist_deg", DoubleType(), False),
+    ])
+
+    kk = k
+
+    def topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sarr, sids = b.value
+        for pdf in it:
+            lat = pdf["lat"].to_numpy()[:, None]
+            lon = pdf["lon"].to_numpy()[:, None]
+            d2 = (lat - sarr[None, :, 0]) ** 2 + (
+                lon - sarr[None, :, 1]) ** 2
+            kuse = min(kk, d2.shape[1])
+            part = np.argpartition(d2, kuse - 1, axis=1)[:, :kuse]
+            rows = {"point_id": [], "site_id": [], "rank": [],
+                    "dist_deg": []}
+            for r in range(d2.shape[0]):
+                # deterministic ties: sort by (distance, site_id)
+                order = part[r][np.lexsort((sids[part[r]],
+                                            d2[r][part[r]]))]
+                for rank, j in enumerate(order):
+                    rows["point_id"].append(pdf[point_id_col].iloc[r])
+                    rows["site_id"].append(int(sids[j]))
+                    rows["rank"].append(rank + 1)
+                    rows["dist_deg"].append(float(np.sqrt(d2[r][j])))
+            yield pd.DataFrame(rows)
+
+    return points.select(point_id_col, "lat", "lon").mapInPandas(
+        topk, schema)
+
+
+# ---------------------------------------------------------------------------
+# raster <-> vector pairing
+# ---------------------------------------------------------------------------
+
+def pair_points_with_raster(
+    points_geo: DataFrame, tr: TiledRaster, value_name: str = "value"
+) -> DataFrame:
+    """Join each geocoded point with the raster cell value under it —
+    pages⋈DEM pairing on the shared grid.  Equi-join on the tile key; the
+    raster side ships one blob per tile."""
+    m = tr.meta
+    n = m.width
+    gx = F.least(F.greatest(F.floor((F.col("lon") + 180.0) / 360.0 * n)
+                            .cast("long"), F.lit(0)), F.lit(n - 1))
+    gy = F.least(F.greatest(F.floor((90.0 - F.col("lat")) / 180.0 *
+                                    m.height).cast("long"), F.lit(0)),
+                 F.lit(m.height - 1))
+    pts = points_geo.withColumn("gx", gx).withColumn("gy", gy)
+    pts = pts.withColumn("tile_x", (F.col("gx") / m.tile_w).cast("int")) \
+             .withColumn("tile_y", (F.col("gy") / m.tile_h).cast("int"))
+    joined = pts.join(tr.df, ["tile_x", "tile_y"])
+
+    out_fields = [f for f in points_geo.schema.fields]
+    schema = StructType(out_fields + [StructField(value_name, DoubleType(),
+                                                  True)])
+    src_cols = [f.name for f in points_geo.schema.fields]
+    tw, th = m.tile_w, m.tile_h
+
+    def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            vals = np.empty(len(pdf))
+            for (txv, tyv), grp in pdf.groupby(["tile_x", "tile_y"]):
+                r0 = grp.iloc[0]
+                a = unpack(r0["data"], r0["height"], r0["width"],
+                           r0["dtype"])
+                lx = grp["gx"].to_numpy() - txv * tw
+                ly = grp["gy"].to_numpy() - tyv * th
+                vals[grp.index.to_numpy()] = a[ly, lx]
+            out = pdf[src_cols].copy()
+            out[value_name] = vals
+            yield out
+
+    return joined.mapInPandas(sample, schema)

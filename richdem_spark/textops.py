@@ -1,0 +1,226 @@
+"""Training-data pipeline text operators (dedup, language-ID, quality,
+tokens, fingerprints) — built on JVM-side pyspark.sql.functions wherever
+possible so Catalyst/codegen keep them off the Python path.
+
+Each operator has an ANSI-SQL twin in __spark_entry__.oracle_sql() so the
+driver's DuckDB harness verifies it value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate removal: md5 content hash, keep the lowest id per
+    hash group (deterministic winner).  Pure hash-groupBy: map-side
+    partial agg + one shuffle on the hash."""
+    return (
+        df.withColumn("h", F.md5(F.col(text_col)))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col),
+             F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles / minhash / ngram-jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Word n-gram shingle table (id, shingle) — the primitive under
+    MinHash, Jaccard and fingerprinting.  split/explode stay in codegen."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def _shingle_hash(col, j: int):
+    """Deterministic 32-bit-ish hash of a shingle under permutation j,
+    reproducible in ANSI SQL: md5 hex -> bigint arithmetic."""
+    base = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    return (base * (2 * j + 1) + 31 * j) % F.lit(2147483647)
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 8,
+                       id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature per doc: min over shingles of H_j(shingle) for j
+    in 0..num_hashes-1.  One aggregation; signature columns mh0..mhK."""
+    aggs = [
+        F.min(_shingle_hash(F.col("shingle"), j)).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(sh: DataFrame, num_hashes: int = 8, bands: int = 4,
+                      id_col: str = "doc_id") -> DataFrame:
+    """LSH candidate pairs: band the signature (rows = num_hashes/bands),
+    bucket-join docs sharing a band value.  Returns (a, b, band) pairs
+    a < b."""
+    sig = minhash_signatures(sh, num_hashes, id_col)
+    rows = num_hashes // bands
+    bands_df = None
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        one = sig.select(
+            F.col(id_col).alias("doc"),
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[c.cast("string") for c in cols])
+            .alias("bucket"),
+        )
+        bands_df = one if bands_df is None else bands_df.unionByName(one)
+    left = bands_df.select(F.col("doc").alias("a"), "band", "bucket")
+    right = bands_df.select(F.col("doc").alias("b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "band")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing >= 1
+    shingle.  |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|∩|.
+    The self-join shuffles on the shingle key; stop-shingle skew is the
+    classic hazard — AQE skew-join splits hot shingles."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "a")
+                   .withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed(id_col, "b")
+              .withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")),
+                    6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """SimHash document fingerprint: per token, a deterministic hash; bit
+    b of the fingerprint = sign of sum over tokens of (+1 if hash bit set
+    else -1).  Expressed relationally (explode tokens x bits -> agg) so
+    the oracle can reproduce it."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    toks = toks.withColumn("th", h)
+    bit_rows = toks.select(
+        id_col, "th", F.explode(F.sequence(F.lit(0), F.lit(bits - 1)))
+        .alias("bit"),
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("(th >> bit) % 2") == 1, 1).otherwise(-1),
+    )
+    agg = bit_rows.groupBy(id_col, "bit").agg(
+        F.sum("contrib").alias("s")
+    )
+    return agg.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)"))
+            .otherwise(0)
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "de", "los"],
+}
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count (JVM split; no UDF)."""
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality: length, mean word length, space ratio —
+    all engine-portable string arithmetic (no regex corner semantics)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_spaces = n_chars - F.length(F.replace(t, F.lit(" "), F.lit("")))
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    mean_wl = F.round((n_chars - n_spaces) / n_tokens, 6)
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.when((mean_wl >= 3) & (mean_wl <= 10), 0.5).otherwise(0.0),
+        6,
+    )
+    return df.select(
+        F.col(id_col), n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"), mean_wl.alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: count marker hits per language, argmax
+    with deterministic tie-break on language code."""
+    t = F.lower(F.col(text_col))
+    scores = []
+    for lg, words in _LANG_MARKERS.items():
+        s = None
+        for wdd in words:
+            c = (F.length(t) - F.length(F.replace(
+                t, F.lit(f" {wdd} "), F.lit("")))) / (len(wdd) + 2)
+            s = c if s is None else s + c
+        scores.append(F.struct(s.cast("double").alias("s"),
+                               F.lit(lg).alias("lg")))
+    best = F.greatest(*scores)
+    return df.select(F.col(id_col), best["lg"].alias("pred_lang"),
+                     F.round(best["s"], 6).alias("lang_score"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Winnowing-style fingerprint: minimum shingle hash per document
+    (a 1-function MinHash) — cheap near-dup prefilter."""
+    sh = shingles(df, text_col, id_col, n)
+    return sh.groupBy(id_col).agg(
+        F.min(_shingle_hash(F.col("shingle"), 0)).alias("fingerprint")
+    )
