@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .constants import FLOWDIR_NO_DATA, TOPO_D8
+from .constants import FLOWDIR_NO_DATA, NO_FLOW, TOPO_D8
 from .kernels import terrain as _terrain
 from .kernels.d8 import d8_flow_directions as _d8_dirs_kernel
 from .ops.accum import flow_accumulation_d8
@@ -44,25 +44,119 @@ def FlowDirectionsD8(tr: TiledRaster) -> TiledRaster:
     )
 
 
-_FA_METHODS = {
-    "D8": None,  # direct dirs->accum path
-    "OCallaghanD8": None,
-}
+def FlowDirectionsDinf(tr: TiledRaster) -> TiledRaster:
+    """Tarboton 1997 D-infinity angles
+    (flowmet/dinf_flowdirs.hpp:45-152)."""
+    from .kernels.flowmet import dinf_flow_directions as _dinf
+
+    return apply_focal(
+        tr, _dinf, out_dtype="float64", out_nodata=-1.0,
+        kernel_kwargs={"nodata": tr.meta.nodata},
+        op_name="dinf_flow_directions",
+    )
 
 
-def FlowAccumulation(tr: TiledRaster, method: str = "D8") -> TiledRaster:
-    """elevations -> accumulation (methods/flow_accumulation.hpp:16-28).
+def _sfd_props_to_dirs_kernel(fm_kernel, fm_kwargs):
+    """Wrap an SFD flow metric (one receiving neighbour per cell) into a
+    dirs-raster kernel usable by the exact two-round accumulation."""
+    import numpy as np
 
-    v1 supports the single-flow-direction methods (D8/OCallaghanD8) via the
-    dirs->accum pipeline; multi-flow methods land with the props tensor.
-    """
-    if method not in _FA_METHODS:
-        raise KeyError(
-            f"method {method!r} not implemented; available: "
-            f"{sorted(_FA_METHODS)}"
+    def kern(padded, nodata=None, **coords):
+        kw = dict(fm_kwargs)
+        if "seed" in kw:  # seeded metrics need global cell coords
+            kw.update(coords)
+        props = fm_kernel(padded, nodata, **kw)
+        dirs = np.argmax(props[..., 1:] > 0, axis=-1).astype(np.uint8) + 1
+        dirs[props[..., 0] != 0.0] = NO_FLOW  # NO_FLOW_GEN cells
+        dirs[props[..., 0] == -2.0] = FLOWDIR_NO_DATA
+        return dirs
+
+    return kern
+
+
+# method table mirroring pyRichDEM (__init__.py:535-552); SFD methods run
+# distributed-exact via the two-round perimeter-graph accumulation; true
+# MFD methods are single-tile fused kernels in v1 (distributed iterative
+# halo propagation is the planned scale path)
+_SFD_METHODS = {"D8", "OCallaghanD8", "Rho8", "FairfieldLeymarieD8"}
+_MFD_METHODS = {"Quinn", "Holmgren", "Freeman", "Tarboton", "Dinfinity"}
+
+
+def FlowProportions(tr: TiledRaster, method: str = "D8", **params):
+    """FM_* stage exposed as a dirs raster for SFD methods
+    (methods/flow_accumulation.hpp:16-28 FM composition)."""
+    from .kernels import flowmet as fmk
+
+    if method in ("D8", "OCallaghanD8"):
+        kern = _sfd_props_to_dirs_kernel(fmk.fm_ocallaghan, {})
+    elif method in ("Rho8", "FairfieldLeymarieD8"):
+        kern = _sfd_props_to_dirs_kernel(
+            fmk.fm_fairfield, {"seed": int(params.get("seed", 0))}
         )
-    dirs = FlowDirectionsD8(tr)
-    return flow_accumulation_d8(dirs)
+    else:
+        raise KeyError(f"SFD method {method!r} unknown")
+    return apply_focal(
+        tr, kern, out_dtype="uint8", out_nodata=float(FLOWDIR_NO_DATA),
+        kernel_kwargs={"nodata": tr.meta.nodata},
+        op_name=f"FM_{method}", pass_coords=True,
+    )
+
+
+def FlowAccumulation(
+    tr: TiledRaster, method: str = "D8", **params
+) -> TiledRaster:
+    """elevations -> accumulation (methods/flow_accumulation.hpp:16-28,
+    pyRichDEM FlowAccumulation, __init__.py:490-596).
+
+    ``method="D8"`` uses the d8_methods.hpp pipeline (edge cells forced
+    outward, d8_flowdirs.hpp:38-55); ``OCallaghanD8``/``Rho8`` use the
+    FM_* composition where edge cells have no flow
+    (OCallaghan1984.hpp:41-42)."""
+    if method == "D8":
+        return flow_accumulation_d8(FlowDirectionsD8(tr))
+    if method in _SFD_METHODS:
+        dirs = FlowProportions(tr, method, **params)
+        return flow_accumulation_d8(dirs)
+    if method in _MFD_METHODS:
+        return _mfd_accumulation_single_tile(tr, method, **params)
+    raise KeyError(
+        f"method {method!r}; available {sorted(_SFD_METHODS | _MFD_METHODS)}"
+    )
+
+
+def _mfd_accumulation_single_tile(tr: TiledRaster, method: str, **params):
+    """Fused FM_* + generic accumulation for multi-flow metrics.  v1
+    requires the raster to fit one tile (the reference's own parallel
+    programs are D8-only; a distributed MFD needs iterative halo
+    propagation — roadmap)."""
+    m = tr.meta
+    if m.ntiles_x != 1 or m.ntiles_y != 1:
+        raise NotImplementedError(
+            f"multi-flow method {method!r} currently requires a "
+            "single-tile raster (distributed MFD pending); got "
+            f"{m.ntiles_x}x{m.ntiles_y} tiles"
+        )
+    from .kernels import flowmet as fmk
+
+    fm = {
+        "Quinn": fmk.fm_quinn,
+        "Holmgren": lambda e, nd: fmk.fm_holmgren(
+            e, nd, x=float(params.get("exponent", 1.0))),
+        "Freeman": lambda e, nd: fmk.fm_freeman(
+            e, nd, p=float(params.get("exponent", 1.1))),
+        "Tarboton": fmk.fm_tarboton,
+        "Dinfinity": fmk.fm_tarboton,
+    }[method]
+
+    def kern(grid, nodata=None):
+        props = fm(grid, nodata)
+        return fmk.prop_flow_accum(props)
+
+    return apply_focal(
+        tr, kern, out_dtype="float64", out_nodata=-1.0,
+        kernel_kwargs={"nodata": m.nodata},
+        op_name=f"FA_{method}",
+    )
 
 
 def FlowAccumulationFromDirs(dirs: TiledRaster) -> TiledRaster:

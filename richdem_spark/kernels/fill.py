@@ -222,33 +222,50 @@ def fill_tile_labels(
 
     next_label = label_base
     slots = list(_neigh_slots(topology))
-    while open_pq:
-        z, _, x, y, lbl = heapq.heappop(open_pq)
-        if closed[y, x]:
-            # flood `lbl` meets already-claimed territory
-            if lbl != 0:
-                add_edge(lbl, int(labels[y, x]), max(z, filled[y, x]))
-            continue
+    offs = [(int(D8X[n]), int(D8Y[n])) for n in slots]
+    # mark all seeds closed up front (close-at-push discipline, as in the
+    # reference's improved PF, Barnes2014.hpp:258-276, and Zhou2015Labels);
+    # each cell enters a queue exactly once
+    for _, _, x, y, _ in open_pq:
         closed[y, x] = True
+    lab = labels  # local aliases for the hot loop
+    fil = filled
+    cl = closed
+    nd = nd_mask
+    pit: list[tuple[float, int, int, int]] = []
+    pit_head = 0
+    while open_pq or pit_head < len(pit):
+        if pit_head < len(pit):
+            z, x, y, lbl = pit[pit_head]
+            pit_head += 1
+        else:
+            z, _, x, y, lbl = heapq.heappop(open_pq)
         if lbl == 0:
             lbl = next_label
             next_label += 1
-        labels[y, x] = lbl
-        filled[y, x] = max(filled[y, x], z)
-        zc = filled[y, x]
-        for n in slots:
-            nx, ny = x + D8X[n], y + D8Y[n]
+            lab[y, x] = lbl
+        zc = z
+        for dx, dy in offs:
+            nx, ny = x + dx, y + dy
             if nx < 0 or nx >= w or ny < 0 or ny >= h:
                 continue
-            if nd_mask[ny, nx]:
-                add_edge(lbl, OCEAN, zc)  # drains through NoData here
+            if cl[ny, nx]:
+                if nd[ny, nx]:
+                    add_edge(lbl, OCEAN, zc)  # drains through NoData here
+                    continue
+                lb = int(lab[ny, nx])
+                if lb != lbl and lb != 0:
+                    zn = fil[ny, nx]
+                    add_edge(lbl, lb, zc if zc >= zn else zn)
                 continue
-            if closed[ny, nx]:
-                add_edge(lbl, int(labels[ny, nx]), max(zc, filled[ny, nx]))
+            cl[ny, nx] = True
+            lab[ny, nx] = lbl
+            ne = fil[ny, nx]
+            if ne <= zc:
+                fil[ny, nx] = zc
+                pit.append((zc, nx, ny, lbl))
             else:
-                heapq.heappush(
-                    open_pq, (max(filled[ny, nx], zc), seq, nx, ny, lbl)
-                )
+                heapq.heappush(open_pq, (ne, seq, nx, ny, lbl))
                 seq += 1
 
     # global-DEM-edge cells drain off-grid at their own (filled) level

@@ -317,13 +317,20 @@ def fill_depressions(
                 labels = unpack(r.labels, r.height, r.width, "int64")
                 levels = r.levels
                 if levels is not None and len(levels):
-                    lut = {int(s["label"]): float(s["level"])
-                           for s in levels}
-                    labs = np.unique(labels)
-                    for lb in labs.tolist():
-                        if lb in lut:
-                            m = labels == lb
-                            filled[m] = np.maximum(filled[m], lut[lb])
+                    lk = np.array([int(s["label"]) for s in levels],
+                                  dtype=np.int64)
+                    lv = np.array([float(s["level"]) for s in levels])
+                    order = np.argsort(lk)
+                    lk, lv = lk[order], lv[order]
+                    # vectorized label -> water-level map; labels absent
+                    # from the solve keep -inf (no raise)
+                    pos = np.searchsorted(lk, labels.ravel())
+                    pos_c = np.clip(pos, 0, len(lk) - 1)
+                    hit = lk[pos_c] == labels.ravel()
+                    raise_to = np.where(hit, lv[pos_c], -np.inf).reshape(
+                        labels.shape
+                    )
+                    filled = np.maximum(filled, raise_to)
                 if eps:
                     filled = priority_flood_fill(
                         filled, r.nodata, topology, epsilon=True

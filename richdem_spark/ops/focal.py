@@ -35,6 +35,7 @@ def apply_focal(
     kernel_kwargs: dict | None = None,
     op_name: str = "focal",
     halo_fill: float | None = None,
+    pass_coords: bool = False,
 ) -> TiledRaster:
     """Apply ``kernel(padded_grid, **kwargs) -> grid`` per tile with halo.
 
@@ -62,7 +63,18 @@ def apply_focal(
                     else []
                 )
                 padded, pt, pl = assemble_padded(core, strips, r.dtype, fill)
-                out = kernel(padded, **kw)
+                if pass_coords:
+                    # global coordinates of padded[0,0] (for kernels with
+                    # per-cell seeded RNG / global-id semantics)
+                    kw2 = dict(
+                        kw,
+                        y0=r.tile_y * meta.tile_h - pt,
+                        x0=r.tile_x * meta.tile_w - pl,
+                        global_w=meta.width,
+                    )
+                    out = kernel(padded, **kw2)
+                else:
+                    out = kernel(padded, **kw)
                 core_out = out[pt : pt + r.height, pl : pl + r.width]
                 rows["tile_x"].append(r.tile_x)
                 rows["tile_y"].append(r.tile_y)

@@ -59,12 +59,18 @@ def _shingle_hash(col, j: int):
 def minhash_signatures(sh: DataFrame, num_hashes: int = 8,
                        id_col: str = "doc_id") -> DataFrame:
     """MinHash signature per doc: min over shingles of H_j(shingle) for j
-    in 0..num_hashes-1.  One aggregation; signature columns mh0..mhK."""
+    in 0..num_hashes-1.  One aggregation; signature columns mh0..mhK.
+    The md5 base hash is computed once and the J permutations derived
+    arithmetically (J-fold cheaper than hashing per permutation)."""
+    base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10) \
+        .cast("long")
+    hashed = sh.withColumn("hb", base)
     aggs = [
-        F.min(_shingle_hash(F.col("shingle"), j)).alias(f"mh{j}")
+        F.min((F.col("hb") * (2 * j + 1) + 31 * j) % F.lit(2147483647))
+        .alias(f"mh{j}")
         for j in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(sh: DataFrame, num_hashes: int = 8, bands: int = 4,

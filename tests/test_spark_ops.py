@@ -103,3 +103,48 @@ def test_find_flats_matches_kernel(spark):
     tr = raster_from_array(spark, dem, tile_w=8, tile_h=8)
     got = FindFlats(tr).to_array()
     assert np.array_equal(got, golden)
+
+
+def test_fa_methods_tiling_invariant(spark):
+    """FM-composed SFD accumulation is identical at any tiling (incl.
+    Rho8's seeded per-cell RNG) — the cluster-size-invariance property."""
+    from richdem_spark.api import FlowAccumulation
+
+    dem = priority_flood_fill(_random_dem(23, 30, 30))
+    for method in ("OCallaghanD8", "Rho8"):
+        single = FlowAccumulation(
+            raster_from_array(spark, dem, tile_w=64, tile_h=64), method
+        ).to_array()
+        tiled = FlowAccumulation(
+            raster_from_array(spark, dem, tile_w=13, tile_h=9), method
+        ).to_array()
+        assert np.array_equal(single, tiled), method
+
+
+def test_mfd_accumulation_single_tile(spark):
+    from richdem_spark.api import FlowAccumulation
+    from richdem_spark.kernels.flowmet import fm_quinn, prop_flow_accum
+
+    dem = priority_flood_fill(_random_dem(29, 20, 20))
+    golden = prop_flow_accum(fm_quinn(dem))
+    tr = raster_from_array(spark, dem, tile_w=64, tile_h=64)
+    got = FlowAccumulation(tr, "Quinn").to_array()
+    assert np.allclose(got, golden)
+    # multi-tile MFD is explicitly gated
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        FlowAccumulation(
+            raster_from_array(spark, dem, tile_w=8, tile_h=8), "Quinn"
+        )
+
+
+def test_dinf_directions_distributed(spark):
+    from richdem_spark.api import FlowDirectionsDinf
+    from richdem_spark.kernels.flowmet import dinf_flow_directions
+
+    dem = priority_flood_fill(_random_dem(31, 24, 24))
+    golden = dinf_flow_directions(dem)
+    tr = raster_from_array(spark, dem, tile_w=7, tile_h=10)
+    got = FlowDirectionsDinf(tr).to_array()
+    assert np.allclose(got, golden)
