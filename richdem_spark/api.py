@@ -247,3 +247,210 @@ def PitMask(tr: TiledRaster) -> TiledRaster:
         .cast("int").alias("value"),
     )
     return out  # exploded-cell DataFrame (relational edge)
+
+
+# ---------------------------------------------------------------------------
+# breaching, watersheds, SPI/CTI, aggregations
+# ---------------------------------------------------------------------------
+
+
+def BreachDepressions(
+    tr: TiledRaster,
+    mode: str = "complete",
+    fill: bool = False,
+    epsilon: bool = False,
+    max_path_len: int = 2**31,
+    max_depth: float = float("inf"),
+    max_cells: int = 16_000_000,
+) -> TiledRaster:
+    """Lindsay 2016 breaching (depressions/Lindsay2016.hpp:227-423).
+
+    Breach backlink paths cross tile seams with no published tiled
+    algorithm (SURVEY.md §7.3), so this operator gathers the raster to a
+    single partition below ``max_cells`` and runs the exact kernel there;
+    larger rasters raise until the tiled variant lands."""
+    m = tr.meta
+    if m.width * m.height > max_cells:
+        raise NotImplementedError(
+            "tiled breaching pending; raster exceeds the single-partition "
+            f"gate ({m.width}x{m.height} > {max_cells} cells)"
+        )
+    from .kernels.breach import lindsay2016
+    from .tiles import raster_from_array
+
+    arr = tr.to_array()
+    out = lindsay2016(
+        arr, m.nodata, mode, epsilon, fill, max_path_len, max_depth
+    )
+    res = raster_from_array(
+        tr.df.sparkSession, out, m.tile_w, m.tile_h, m.nodata,
+        m.geotransform,
+    )
+    res.meta = res.meta.with_history(f"breach_depressions({mode})")
+    return res
+
+
+def WatershedLabels(tr: TiledRaster, epsilon: bool = True) -> TiledRaster:
+    """Label cells by their drainage terminal
+    (PriorityFloodWatersheds_Barnes2014, Barnes2014.hpp:713-807
+    semantics via fill + D8 terminal resolution)."""
+    from .ops.watershed import watershed_labels
+
+    filled = _fill(tr, epsilon=epsilon)
+    dirs = FlowDirectionsD8(filled)
+    return watershed_labels(dirs)
+
+
+def SPI(accum: TiledRaster, slope_pct: TiledRaster) -> TiledRaster:
+    """Stream power index (terrain_attributes.hpp:29-57): join of the
+    accumulation and slope rasters on the tile key."""
+    from .kernels.terrain import spi as _spi
+    from .ops.focal import combine_tiles
+
+    area = accum.meta.cell_area
+    return combine_tiles(
+        accum, slope_pct,
+        lambda a, s: _spi(a, s, cell_area=area),
+        out_nodata=-9999.0, op_name="TA_SPI",
+    )
+
+
+def CTI(accum: TiledRaster, slope_pct: TiledRaster) -> TiledRaster:
+    """Topographic wetness index (terrain_attributes.hpp:81-109)."""
+    from .kernels.terrain import cti as _cti
+    from .ops.focal import combine_tiles
+
+    area = accum.meta.cell_area
+    return combine_tiles(
+        accum, slope_pct,
+        lambda a, s: _cti(a, s, cell_area=area),
+        out_nodata=-9999.0, op_name="TA_CTI",
+    )
+
+
+def RasterMinMax(tr: TiledRaster) -> tuple:
+    """NoData-aware global extrema (Array2D.hpp:516-535)."""
+    from .ops.focal import aggregate_tiles
+
+    def tile_fn(arr, nodata):
+        a = arr[arr != nodata] if nodata is not None else arr
+        if a.size == 0:
+            return [None, None]
+        return [float(a.min()), float(a.max())]
+
+    def comb(x, y):
+        lo = min(v for v in (x[0], y[0]) if v is not None) \
+            if (x[0] is not None or y[0] is not None) else None
+        hi = max(v for v in (x[1], y[1]) if v is not None) \
+            if (x[1] is not None or y[1] is not None) else None
+        return [lo, hi]
+
+    return tuple(aggregate_tiles(tr, tile_fn, comb, [None, None]))
+
+
+def CountVal(tr: TiledRaster, value: float) -> int:
+    """Count cells equal to value (Array2D.hpp:559-565)."""
+    from .ops.focal import aggregate_tiles
+
+    return int(aggregate_tiles(
+        tr,
+        lambda a, nd: int((a == value).sum()),
+        lambda x, y: x + y,
+        0,
+    ))
+
+
+def NumDataCells(tr: TiledRaster) -> int:
+    """Non-NoData cell count (Array2D.hpp:917-935)."""
+    from .ops.focal import aggregate_tiles
+
+    return int(aggregate_tiles(
+        tr,
+        lambda a, nd: int((a != nd).sum()) if nd is not None else a.size,
+        lambda x, y: x + y,
+        0,
+    ))
+
+
+def SurfaceArea(tr: TiledRaster) -> float:
+    """Jenness 2004 3D surface area (misc/misc_methods.hpp:39-169);
+    per-tile partials with float64 accumulators + driver sum.  Tile-edge
+    triangles use centre-substitution (exact only per-tile; halo variant
+    pending)."""
+    from .kernels.terrain import dem_surface_area
+    from .ops.focal import aggregate_tiles
+
+    m = tr.meta
+    return float(aggregate_tiles(
+        tr,
+        lambda a, nd: dem_surface_area(
+            a, nd, m.cell_length_x, m.cell_length_y),
+        lambda x, y: x + y,
+        0.0,
+    ))
+
+
+def RasterEquals(a: TiledRaster, b: TiledRaster) -> bool:
+    """Exact raster equality — the golden-test comparator
+    (Array2D.hpp:649-658)."""
+    if (a.meta.width, a.meta.height) != (b.meta.width, b.meta.height):
+        return False
+    from .ops.focal import aggregate_tiles, combine_tiles
+
+    diff = combine_tiles(a, b, lambda x, y: (x != y).astype("float64"),
+                         op_name="equals")
+    return aggregate_tiles(
+        diff, lambda arr, nd: float(arr.sum()), lambda x, y: x + y, 0.0
+    ) == 0.0
+
+
+def RasterCompare(a: TiledRaster, b: TiledRaster) -> dict:
+    """rd_compare (apps/rd_compare.cpp:34+): diff statistics."""
+    from .ops.focal import aggregate_tiles, combine_tiles
+
+    diff = combine_tiles(a, b, lambda x, y: x - y, op_name="compare")
+
+    def tile_fn(arr, nd):
+        return [float(np.abs(arr).max()) if arr.size else 0.0,
+                float(arr.sum()), float((arr * arr).sum()), arr.size]
+
+    def comb(x, y):
+        return [max(x[0], y[0]), x[1] + y[1], x[2] + y[2], x[3] + y[3]]
+
+    mx, s, ss, n = aggregate_tiles(diff, tile_fn, comb, [0.0, 0.0, 0.0, 0])
+    return {
+        "max_abs_diff": mx,
+        "avg_diff": s / n if n else 0.0,
+        "rms_diff": (ss / n) ** 0.5 if n else 0.0,
+    }
+
+
+def ResolveFlats(
+    tr: TiledRaster, alter_dem: bool = False, max_cells: int = 16_000_000
+) -> TiledRaster:
+    """Barnes 2014a flat resolution (flats/flat_resolution.hpp:447-517).
+
+    Returns flat-resolved D8 flow directions (or, with ``alter_dem``, the
+    nextafter-altered elevations).  Flats spanning tile seams need
+    iterative frontier exchange (SURVEY.md §2.8); v1 gathers to a single
+    partition below ``max_cells``."""
+    m = tr.meta
+    if m.width * m.height > max_cells:
+        raise NotImplementedError(
+            "tiled flat resolution pending; raster exceeds the "
+            f"single-partition gate ({max_cells} cells)"
+        )
+    from .kernels.flats import resolve_flats_pipeline
+    from .tiles import raster_from_array
+
+    arr = tr.to_array()
+    dirs, elev = resolve_flats_pipeline(arr, m.nodata, alter=alter_dem)
+    out = elev if alter_dem else dirs
+    res = raster_from_array(
+        tr.df.sparkSession, out, m.tile_w, m.tile_h,
+        m.nodata if alter_dem else float(FLOWDIR_NO_DATA), m.geotransform,
+    )
+    res.meta = res.meta.with_history(
+        f"resolve_flats(alter_dem={alter_dem})"
+    )
+    return res

@@ -1,0 +1,186 @@
+"""Depression breaching — Lindsay 2016 hybrid breaching/filling.
+
+Re-derivation of ``include/richdem/depressions/Lindsay2016.hpp``:
+* ``CompleteBreaching_Lindsay2016`` (:48-178) — carve every pit a
+  drainage path along Priority-Flood backlinks.
+* ``Lindsay2016`` full modes (:227-423) — COMPLETE / SELECTIVE /
+  CONSTRAINED with max path length/depth, optional epsilon gradients and
+  optional post-fill.
+
+The priority queue is the stable ``GridCellZk_low_pq`` (ties broken by
+insertion order, ``common/grid_cell.hpp:95-122``) — reproduced with a
+(z, k) heap key and row-major seeding order, which the golden fixtures
+depend on.
+
+Distribution note: breach paths cross tile seams along backlinks, for
+which no published tiled algorithm exists in the reference (SURVEY.md
+§7.3); the Spark operator runs this kernel on a single gathered partition
+when the raster is below the gate size.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from ..constants import D8X, D8Y
+
+COMPLETE = "complete"
+SELECTIVE = "selective"
+CONSTRAINED = "constrained"
+
+_UNVISITED, _VISITED, _EDGE = 0, 1, 2
+_NO_BACK_LINK = -1
+
+
+def lindsay2016(
+    dem_in: np.ndarray,
+    nodata: float | None = None,
+    mode: str = COMPLETE,
+    eps_gradients: bool = False,
+    fill_depressions: bool = False,
+    max_path_len: int = 2**31,
+    max_depth: float = np.inf,
+) -> np.ndarray:
+    h, w = dem_in.shape
+    dem = dem_in.astype(np.float64).ravel().copy()
+    nd = (
+        (dem_in == nodata).ravel()
+        if nodata is not None
+        else np.zeros(h * w, bool)
+    )
+    visited = np.zeros(h * w, dtype=np.uint8)
+    pits = np.zeros(h * w, dtype=bool)
+    backlinks = np.full(h * w, _NO_BACK_LINK, dtype=np.int64)
+
+    grid = dem.reshape(h, w)
+    ndg = nd.reshape(h, w)
+
+    # lowest data-neighbour per interior cell + nodata adjacency, vectorized
+    lowest = np.full((h, w), np.inf)
+    nd_adj = np.zeros((h, w), bool)
+    for n in range(1, 9):
+        dx, dy = int(D8X[n]), int(D8Y[n])
+        ys_d = slice(max(0, -dy), h - max(0, dy))
+        xs_d = slice(max(0, -dx), w - max(0, dx))
+        ys_s = slice(max(0, dy), h + min(0, dy))
+        xs_s = slice(max(0, dx), w + min(0, dx))
+        nsrc = grid[ys_s, xs_s]
+        ndn = ndg[ys_s, xs_s]
+        nd_adj[ys_d, xs_d] |= ndn
+        lowest[ys_d, xs_d] = np.minimum(
+            lowest[ys_d, xs_d], np.where(ndn, np.inf, nsrc)
+        )
+
+    pq: list[tuple[float, int, int]] = []  # (z, k, flat_index)
+    k = 0
+    # row-major seeding preserves the stable-PQ tie order the reference's
+    # GridCellZk relies on (tests.cpp:152-230)
+    edge_mask = np.zeros((h, w), bool)
+    edge_mask[0, :] = edge_mask[-1, :] = True
+    edge_mask[:, 0] = edge_mask[:, -1] = True
+    total_pits = 0
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if nd[i]:
+                continue
+            if edge_mask[y, x] or nd_adj[y, x]:
+                heapq.heappush(pq, (dem[i], k, i))
+                k += 1
+                visited[i] = _EDGE
+                continue
+            lo = lowest[y, x]
+            if dem[i] < lo:
+                dem[i] = (
+                    np.nextafter(lo, -np.inf) if eps_gradients else lo
+                )
+            if dem[i] <= lo:
+                pits[i] = True
+                total_pits += 1
+
+    flood_array: list[int] = []
+    offs = [(int(D8X[n]), int(D8Y[n])) for n in range(1, 9)]
+    lowest_f = -np.inf
+    while pq:
+        z, _, ci = heapq.heappop(pq)
+        cy, cx = divmod(ci, w)
+
+        if pits[ci]:
+            cc = ci
+            target = dem[ci]
+            if mode == COMPLETE:
+                while cc != _NO_BACK_LINK and dem[cc] >= target:
+                    dem[cc] = target
+                    cc = backlinks[cc]
+                    if eps_gradients:
+                        target = np.nextafter(target, -np.inf)
+            else:
+                pathlen = 0
+                pathdepth = lowest_f
+                while cc != _NO_BACK_LINK and dem[cc] >= target:
+                    pathdepth = max(pathdepth, dem[cc] - target)
+                    cc = backlinks[cc]
+                    if eps_gradients:
+                        target = np.nextafter(target, -np.inf)
+                    pathlen += 1
+                cc = ci
+                target = dem[ci]
+                if pathlen <= max_path_len and pathdepth <= max_depth:
+                    while cc != _NO_BACK_LINK and dem[cc] >= target:
+                        dem[cc] = target
+                        cc = backlinks[cc]
+                        if eps_gradients:
+                            target = np.nextafter(target, -np.inf)
+                elif mode == CONSTRAINED:
+                    # Carve each path cell down by at most max_depth,
+                    # never below the drainage target.  This matches the
+                    # reference's golden fixture
+                    # (tests/breaching/testdem1.constrained-len4-depth3.out)
+                    # and Lindsay's paper; the in-tree loop at
+                    # Lindsay2016.hpp:363-374 (`dem -= pathdepth`)
+                    # disagrees with its own golden and carries a
+                    # "TODO: Refine this" marker.
+                    while cc != _NO_BACK_LINK and dem[cc] >= target:
+                        dem[cc] = max(dem[cc] - max_depth, target)
+                        if eps_gradients:
+                            target = np.nextafter(target, -np.inf)
+                        cc = backlinks[cc]
+            total_pits -= 1
+            if total_pits == 0:
+                break
+
+        for dx, dy in offs:
+            nx, ny = cx + dx, cy + dy
+            if nx < 0 or nx >= w or ny < 0 or ny >= h:
+                continue
+            ni = ny * w + nx
+            if nd[ni] or visited[ni] != _UNVISITED:
+                continue
+            heapq.heappush(pq, (dem[ni], k, ni))
+            k += 1
+            if fill_depressions:
+                flood_array.append(ni)
+            visited[ni] = _VISITED
+            backlinks[ni] = ci
+
+    if mode != COMPLETE and fill_depressions:
+        for f in flood_array:
+            parent = backlinks[f]
+            if parent != _NO_BACK_LINK and dem[f] <= dem[parent]:
+                dem[f] = (
+                    np.nextafter(dem[parent], np.inf)
+                    if eps_gradients
+                    else dem[parent]
+                )
+
+    out = dem.reshape(h, w)
+    if nodata is not None:
+        out[dem_in == nodata] = nodata
+    return out
+
+
+def complete_breaching(dem, nodata=None, eps_gradients=False):
+    """CompleteBreaching_Lindsay2016 (Lindsay2016.hpp:48-178)."""
+    return lindsay2016(dem, nodata, COMPLETE, eps_gradients, False)

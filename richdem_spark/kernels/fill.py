@@ -223,11 +223,13 @@ def fill_tile_labels(
     next_label = label_base
     slots = list(_neigh_slots(topology))
     offs = [(int(D8X[n]), int(D8Y[n])) for n in slots]
-    # mark all seeds closed up front (close-at-push discipline, as in the
-    # reference's improved PF, Barnes2014.hpp:258-276, and Zhou2015Labels);
-    # each cell enters a queue exactly once
-    for _, _, x, y, _ in open_pq:
-        closed[y, x] = True
+    # close-at-push discipline for flood expansion (the reference's
+    # improved PF, Barnes2014.hpp:258-276) — but SEEDS stay open so an
+    # earlier flood can claim them (a flood only ever reaches a seed at
+    # zc <= its elevation, else the seed's own entry popped first), which
+    # keeps the label count minimal: one label per perimeter *watershed*,
+    # not per perimeter cell.  Claimed seeds' duplicate entries are
+    # skipped at pop.
     lab = labels  # local aliases for the hot loop
     fil = filled
     cl = closed
@@ -240,6 +242,10 @@ def fill_tile_labels(
             pit_head += 1
         else:
             z, _, x, y, lbl = heapq.heappop(open_pq)
+            if lbl == 0:
+                if cl[y, x]:
+                    continue  # seed already claimed by a flood
+                cl[y, x] = True
         if lbl == 0:
             lbl = next_label
             next_label += 1

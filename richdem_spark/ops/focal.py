@@ -136,3 +136,82 @@ def elementwise(
         projection=m.projection, history=m.history,
     ).with_history(op_name)
     return TiledRaster(out_df, new_meta)
+
+
+def combine_tiles(
+    a: "TiledRaster",
+    b: "TiledRaster",
+    fn,
+    out_dtype: str = "float64",
+    out_nodata: float | None = None,
+    op_name: str = "combine",
+) -> "TiledRaster":
+    """Elementwise combination of two co-tiled rasters (the SPI/CTI /
+    rd_compare class): equi-join on the tile key, zero extra shuffles when
+    both sides share partitioning."""
+    if (a.meta.width, a.meta.height, a.meta.tile_w, a.meta.tile_h) != (
+        b.meta.width, b.meta.height, b.meta.tile_w, b.meta.tile_h
+    ):
+        raise ValueError("rasters must share grid and tiling")
+    bd = b.df.select(
+        "tile_x", "tile_y",
+        b.df["data"].alias("data_b"), b.df["dtype"].alias("dtype_b"),
+    )
+    joined = a.df.join(bd, ["tile_x", "tile_y"])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("tile_x", "tile_y", "width", "height",
+                     "dtype", "nodata", "data")}
+            for r in pdf.itertuples():
+                va = unpack(r.data, r.height, r.width, r.dtype)
+                vb = unpack(r.data_b, r.height, r.width, r.dtype_b)
+                out = fn(va, vb).astype(np.dtype(out_dtype))
+                rows["tile_x"].append(r.tile_x)
+                rows["tile_y"].append(r.tile_y)
+                rows["width"].append(r.width)
+                rows["height"].append(r.height)
+                rows["dtype"].append(out_dtype)
+                rows["nodata"].append(out_nodata)
+                rows["data"].append(pack(out))
+            yield pd.DataFrame(rows)
+
+    out_df = joined.mapInPandas(run, TILE_SCHEMA)
+    m = a.meta
+    new_meta = RasterMeta(
+        width=m.width, height=m.height, tile_w=m.tile_w, tile_h=m.tile_h,
+        nodata=out_nodata, dtype=out_dtype, geotransform=m.geotransform,
+        projection=m.projection, history=m.history,
+    ).with_history(op_name)
+    return TiledRaster(out_df, new_meta)
+
+
+def aggregate_tiles(tr: "TiledRaster", tile_fn, combine_fn, init):
+    """Partial-per-tile + driver-final aggregation (min/max/count/
+    surface-area class, Array2D.hpp:516-535,917-935): tile_fn(arr,
+    nodata) -> partial; combine_fn reduces partials."""
+    # executor-side partials via mapInPandas, tiny rows to the driver
+    import json as _json
+
+    from pyspark.sql.types import StringType as _S, StructField as _F, \
+        StructType as _T
+
+    schema = _T([_F("partial", _S(), False)])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parts = []
+            for r in pdf.itertuples():
+                arr = unpack(r.data, r.height, r.width, r.dtype)
+                parts.append(tile_fn(arr, r.nodata))
+            if parts:
+                acc = parts[0]
+                for p in parts[1:]:
+                    acc = combine_fn(acc, p)
+                yield pd.DataFrame({"partial": [_json.dumps(acc)]})
+
+    out = init
+    for row in tr.df.mapInPandas(run, schema).collect():
+        out = combine_fn(out, _json.loads(row.partial))
+    return out

@@ -15,6 +15,10 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     sp = int(shuffle_partitions or cpus)
+    # one BLAS/OMP thread per Python worker — the kernels parallelize
+    # across tiles, not within; oversubscription thrashes at local[32]
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
     return (
         SparkSession.builder.master(master)
         .appName(app)

@@ -21,11 +21,12 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "200000"))
-GRID = int(os.environ.get("SPARK_GRAFT_GRID", "1024"))
-TILE = int(os.environ.get("SPARK_GRAFT_TILE", "128"))
+GRID = int(os.environ.get("SPARK_GRAFT_GRID", "2048"))
+TILE = int(os.environ.get("SPARK_GRAFT_TILE", "256"))
 
 
-def run_job(cpus: int, out_npy: str) -> dict:
+def run_job(cpus: int, out_npy: str, grid: int = GRID,
+            pages: int = N_PAGES) -> dict:
     sys.path.insert(0, REPO)
     import numpy as np
 
@@ -37,11 +38,11 @@ def run_job(cpus: int, out_npy: str) -> dict:
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    pages = synth_webtext(spark, N_PAGES).persist()
-    pages.count()  # generation excluded from the timed section
+    pg = synth_webtext(spark, pages).persist()
+    pg.count()  # generation excluded from the timed section
 
     t0 = time.perf_counter()
-    dem = rasterize_pages(geocode(pages), grid=GRID, tile=TILE).persist()
+    dem = rasterize_pages(geocode(pg), grid=grid, tile=TILE).persist()
     dem.df.count()
     t_raster = time.perf_counter()
     filled = FillDepressions(dem).persist()
@@ -53,10 +54,13 @@ def run_job(cpus: int, out_npy: str) -> dict:
     arr = acc.to_array()
     t_acc = time.perf_counter()
 
-    np.save(out_npy, arr)
-    cells = GRID * GRID
+    if out_npy:
+        np.save(out_npy, arr)
+    cells = grid * grid
     res = {
         "cpus": cpus,
+        "grid": grid,
+        "pages": pages,
         "rasterize_s": round(t_raster - t0, 3),
         "fill_s": round(t_fill - t_raster, 3),
         "dirs_accum_s": round(t_acc - t_fill, 3),
@@ -68,48 +72,60 @@ def run_job(cpus: int, out_npy: str) -> dict:
     return res
 
 
+def _child(cpus: int, grid: int, pages: int, out_npy: str):
+    p = subprocess.run(
+        [sys.executable, __file__, "--child", str(cpus), str(grid),
+         str(pages), out_npy],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    line = [ln for ln in p.stdout.splitlines()
+            if ln.startswith("CHILD_RESULT ")]
+    if not line:
+        sys.stderr.write(p.stdout + p.stderr)
+        raise SystemExit(f"child {cpus} failed")
+    return json.loads(line[0][len("CHILD_RESULT "):])
+
+
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--child":
-        cpus = int(sys.argv[2])
-        res = run_job(cpus, sys.argv[3])
+        res = run_job(int(sys.argv[2]), sys.argv[5],
+                      grid=int(sys.argv[3]), pages=int(sys.argv[4]))
         print("CHILD_RESULT " + json.dumps(res))
         return
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n4 = int(sys.argv[2]) if len(sys.argv) > 2 else 4 * n
-    results = {}
-    outs = {}
-    for cpus in (n, n4):
-        out_npy = f"/tmp/scale_bench_{cpus}.npy"
-        p = subprocess.run(
-            [sys.executable, __file__, "--child", str(cpus), out_npy],
-            capture_output=True, text=True, cwd=REPO,
-        )
-        line = [ln for ln in p.stdout.splitlines()
-                if ln.startswith("CHILD_RESULT ")]
-        if not line:
-            sys.stderr.write(p.stdout + p.stderr)
-            raise SystemExit(f"child {cpus} failed")
-        results[cpus] = json.loads(line[0][len("CHILD_RESULT "):])
-        outs[cpus] = out_npy
+    k = n4 // n
 
+    # strong scaling: identical input at N and 4N; outputs must be
+    # cell-for-cell identical (reference harness pattern,
+    # programs/parallel_d8_accum/test_small.sh:36-44)
+    strong_n = _child(n, GRID, N_PAGES, f"/tmp/scale_strong_{n}.npy")
+    strong_n4 = _child(n4, GRID, N_PAGES, f"/tmp/scale_strong_{n4}.npy")
     import numpy as np
 
-    a, b = np.load(outs[n]), np.load(outs[n4])
-    identical = bool(np.array_equal(a, b))
-    tA, tB = results[n]["total_s"], results[n4]["total_s"]
-    speedup = tA / tB
-    efficiency = speedup / (n4 / n)
+    identical = bool(np.array_equal(
+        np.load(f"/tmp/scale_strong_{n}.npy"),
+        np.load(f"/tmp/scale_strong_{n4}.npy"),
+    ))
+    strong_speedup = strong_n["total_s"] / strong_n4["total_s"]
+
+    # weak scaling: 4N cores get 4x the cells (2x grid edge) and 4x pages
+    # -> throughput efficiency = T_N / T_4N (the 100TB regime: data and
+    # executors grow together)
+    weak_n4 = _child(n4, GRID * 2, N_PAGES * 4, "")
+    weak_eff = strong_n["total_s"] / weak_n4["total_s"]
+
     print(json.dumps({
         "metric": "hydrology pipeline scaling (rasterize+fill+accum), "
                   f"local[{n}] vs local[{n4}]",
-        "N": results[n],
-        "4N": results[n4],
+        "strong_N": strong_n,
+        "strong_4N": strong_n4,
         "identical_output": identical,
-        "speedup": round(speedup, 3),
-        "scaling_efficiency": round(efficiency, 3),
-        "pages": N_PAGES,
-        "grid": GRID,
+        "strong_speedup": round(strong_speedup, 3),
+        "strong_efficiency": round(strong_speedup / k, 3),
+        "weak_4N": weak_n4,
+        "weak_scaling_efficiency": round(weak_eff, 3),
         "tile": TILE,
     }))
 
