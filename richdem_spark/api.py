@@ -454,3 +454,131 @@ def ResolveFlats(
         f"resolve_flats(alter_dem={alter_dem})"
     )
     return res
+
+
+def GetDepressionHierarchy(
+    tr: TiledRaster, ocean_labels: TiledRaster | None = None,
+    max_cells: int = 16_000_000,
+):
+    """Depression hierarchy (depressions/depression_hierarchy.hpp:243-725;
+    pyRichDEM get_depression_hierarchy, __init__.py:815-864).
+
+    Returns (depressions, labels_raster, flowdirs_raster).  The hierarchy
+    build is ocean-seeded global PF; v1 gathers below ``max_cells`` (the
+    tiled spillover-graph variant is the roadmap item; the hierarchy
+    itself is tiny and driver-resident by design, SURVEY.md §1.6)."""
+    import numpy as np
+
+    from .kernels.dephier import OCEAN, get_depression_hierarchy as _gdh
+    from .tiles import raster_from_array
+
+    m = tr.meta
+    if m.width * m.height > max_cells:
+        raise NotImplementedError("dephier exceeds single-partition gate")
+    dem = tr.to_array()
+    if ocean_labels is not None:
+        lab = ocean_labels.to_array()
+    else:
+        lab = np.full(dem.shape, -1, dtype=np.int64)
+        lab[0, :] = OCEAN
+        lab[-1, :] = OCEAN
+        lab[:, 0] = OCEAN
+        lab[:, -1] = OCEAN
+        if m.nodata is not None:
+            lab[dem == m.nodata] = OCEAN
+    deps, labels, flowdirs = _gdh(dem, lab)
+    spark = tr.df.sparkSession
+    lab_r = raster_from_array(spark, labels, m.tile_w, m.tile_h, -1.0,
+                              m.geotransform)
+    flow_r = raster_from_array(spark, flowdirs, m.tile_w, m.tile_h, None,
+                               m.geotransform)
+    return deps, lab_r, flow_r
+
+
+def FillSpillMerge(
+    tr: TiledRaster, wtd: TiledRaster, max_cells: int = 16_000_000
+) -> TiledRaster:
+    """Route standing surface water (fill_spill_merge.hpp:142-194;
+    pyRichDEM fill_spill_merge, __init__.py:866-903).  ``wtd`` holds
+    surface-water depths; returns the post-routing standing water."""
+    from .kernels.dephier import OCEAN
+    from .kernels.dephier import get_depression_hierarchy as _gdh
+    from .kernels.fsm import fill_spill_merge as _fsm
+    from .tiles import raster_from_array
+    import numpy as np
+
+    m = tr.meta
+    if m.width * m.height > max_cells:
+        raise NotImplementedError("FSM exceeds single-partition gate")
+    dem = tr.to_array()
+    water = wtd.to_array()
+    lab = np.full(dem.shape, -1, dtype=np.int64)
+    lab[0, :] = OCEAN
+    lab[-1, :] = OCEAN
+    lab[:, 0] = OCEAN
+    lab[:, -1] = OCEAN
+    if m.nodata is not None:
+        lab[dem == m.nodata] = OCEAN
+    deps, labels, flowdirs = _gdh(dem, lab)
+    out = _fsm(dem, labels, flowdirs, deps, water)
+    res = raster_from_array(tr.df.sparkSession, out, m.tile_w, m.tile_h,
+                            None, m.geotransform)
+    res.meta = res.meta.with_history("fill_spill_merge")
+    return res
+
+
+def DepressionVolumes(tr: TiledRaster, deps, labels: TiledRaster):
+    """Spark-side marginal volume aggregation: groupBy(containing
+    depression) over the exploded cells with the broadcast hierarchy —
+    the distributed twin of CalculateMarginalVolumes
+    (depression_hierarchy.hpp:792-868)."""
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    # broadcast compact hierarchy arrays
+    n = len(deps)
+    parent = np.array([d.parent for d in deps], dtype=np.int64)
+    out_elev = np.array(
+        [d.out_elev if np.isfinite(d.out_elev) else np.inf for d in deps]
+    )
+    ocean_parent = np.array([d.ocean_parent for d in deps], dtype=bool)
+    spark = tr.df.sparkSession
+    b = spark.sparkContext.broadcast((parent, out_elev, ocean_parent))
+
+    cells = tr.cells().withColumnRenamed("value", "elev")
+    labs = labels.cells().withColumnRenamed("value", "label")
+    joined = cells.join(labs, ["x", "y"])
+
+    from pyspark.sql.types import LongType
+    import pandas as pd
+
+    @F.pandas_udf(LongType())
+    def containing_dep(label: pd.Series, elev: pd.Series) -> pd.Series:
+        par, oe, op = b.value
+        lab = label.to_numpy().astype(np.int64)
+        el = elev.to_numpy()
+        out = lab.copy()
+        # walk each cell up until its elevation clears the outlet
+        for i in range(len(out)):
+            c = int(out[i])
+            e = el[i]
+            while c != 0:
+                if e <= oe[c]:
+                    break
+                if op[c]:
+                    c = 0
+                    break
+                c = int(par[c])
+            out[i] = c
+        return pd.Series(out)
+
+    return (
+        joined.withColumn("dep", containing_dep("label", "elev"))
+        .where(F.col("dep") != 0)
+        .groupBy("dep")
+        .agg(
+            F.count(F.lit(1)).alias("cell_count"),
+            F.sum("elev").alias("total_elevation"),
+        )
+    )

@@ -173,6 +173,18 @@ def fill_tile_labels(
     """
     h, w = elev.shape
     filled = elev.astype(np.float64).copy()
+
+    # fast path: a constant tile (flat ocean in sparse webtext rasters)
+    # is one watershed, already filled, with no internal spillover; a
+    # global-DEM-edge side still drains to the ocean at the tile level
+    if elev.size and (nodata is None or not (elev == nodata).any()) \
+            and filled.min() == filled.max():
+        labels = np.full((h, w), label_base, dtype=np.int64)
+        edges = {}
+        if edge_mask:
+            edges[(OCEAN, label_base)] = float(filled.flat[0])
+        return filled, labels, edges
+
     labels = np.zeros((h, w), dtype=np.int64)
     closed = np.zeros((h, w), dtype=bool)
     nd_mask = (elev == nodata) if nodata is not None else np.zeros(

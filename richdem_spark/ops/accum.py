@@ -127,96 +127,156 @@ def _round1(weights_mode: str):
     return run
 
 
+def _serial_of(x, y, w, h):
+    """Perimeter serial index matching _perimeter_indices' layout:
+    top row, bottom row, left column (y=1..h-2), right column."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    return np.where(
+        y == 0, x,
+        np.where(
+            y == h - 1, w + x,
+            np.where(x == 0, 2 * w + (y - 1), 2 * w + (h - 2) + (y - 1)),
+        ),
+    )
+
+
 def _solve_perimeter_graph(perim_rows, meta: RasterMeta):
-    """Kahn propagation over the cross-tile perimeter graph.
+    """Kahn propagation over the cross-tile perimeter graph — fully
+    vectorized construction (the driver's serial fraction governs scaling
+    efficiency, so dict-of-tuples bookkeeping is replaced by flat numpy
+    arrays over a global perimeter-cell numbering).
 
     Returns {(tile_x, tile_y): {(x, y): offset}} of external inflows.
     """
-    route = {}      # (t,x,y) -> (qx,qy,qdir) exit info for this cell's path
-    laccum = {}     # (t,x,y) -> local accumulation at the cell
-    valid = {}
-    dims = {}
-    for row in perim_rows:
-        t = (row.tile_x, row.tile_y)
-        dims[t] = (row.width, row.height)
-        for i in range(len(row.px)):
-            c = (t, row.px[i], row.py[i])
-            route[c] = (row.qx[i], row.qy[i], row.qdir[i])
-            laccum[c] = row.pacc[i]
-            valid[c] = bool(row.pvalid[i])
+    ntx = meta.ntiles_x
+    rows = sorted(perim_rows, key=lambda r: (r.tile_y, r.tile_x))
+    ntile = len(rows)
+    counts = np.array([len(r.px) for r in rows])
+    base = np.zeros(ntile + 1, dtype=np.int64)
+    np.cumsum(counts, out=base[1:])
+    tid_of = {(r.tile_x, r.tile_y): i for i, r in enumerate(rows)}
+    tdims = np.array([(r.width, r.height) for r in rows], dtype=np.int64)
+    ttxy = np.array([(r.tile_x, r.tile_y) for r in rows], dtype=np.int64)
 
-    ntx, nty = meta.ntiles_x, meta.ntiles_y
+    px = np.concatenate([np.asarray(r.px, dtype=np.int64) for r in rows])
+    py = np.concatenate([np.asarray(r.py, dtype=np.int64) for r in rows])
+    qx = np.concatenate([np.asarray(r.qx, dtype=np.int64) for r in rows])
+    qy = np.concatenate([np.asarray(r.qy, dtype=np.int64) for r in rows])
+    qd = np.concatenate([np.asarray(r.qdir, dtype=np.int64) for r in rows])
+    la = np.concatenate([np.asarray(r.pacc, dtype=np.float64)
+                         for r in rows])
+    ok = np.concatenate([np.asarray(r.pvalid, dtype=np.int64)
+                         for r in rows]) > 0
+    tid = np.repeat(np.arange(ntile), counts)
 
-    def handoff(t, qx, qy, qdir):
-        """Global target cell of an exiting step, or None off-DEM."""
-        tx, ty = t
-        gx = tx * meta.tile_w + qx + int(D8X[qdir])
-        gy = ty * meta.tile_h + qy + int(D8Y[qdir])
-        if not (0 <= gx < meta.width and 0 <= gy < meta.height):
-            return None
-        ttx, tty = gx // meta.tile_w, gy // meta.tile_h
-        return ((ttx, tty), gx - ttx * meta.tile_w, gy - tty * meta.tile_h)
+    w_t = tdims[tid, 0]
+    h_t = tdims[tid, 1]
 
-    # exit nodes: exit cells of any perimeter path leaving the tile; the
-    # exit cell is itself a perimeter cell, so it appears in `route`
-    exit_set = set()
-    for c, (qx, qy, qdir) in route.items():
-        if qdir != 0 and valid[c]:
-            exit_set.add((c[0], qx, qy))
+    # node id of each perimeter cell's in-tile exit
+    has_route = ok & (qx >= 0)
+    exit_nid = np.where(
+        has_route, base[tid] + _serial_of(qx, qy, w_t, h_t), -1
+    )
+    is_exit_cell = np.zeros(base[-1], dtype=bool)
+    exits_mask = ok & (qd != 0)
+    is_exit_cell[exit_nid[exits_mask]] = True
 
-    indeg = defaultdict(int)
-    recv = defaultdict(float)
+    # handoff target of each EXIT cell (vectorized over all cells; only
+    # meaningful where qd != 0 at the cell itself)
+    self_serial = base[tid] + _serial_of(px, py, w_t, h_t)
+    # per-node arrays (indexable by node id)
+    n_nodes = base[-1]
+    node_qx = np.full(n_nodes, -1, dtype=np.int64)
+    node_qx[self_serial] = qx
+    node_qy = np.full(n_nodes, -1, dtype=np.int64)
+    node_qy[self_serial] = qy
+    node_qd = np.zeros(n_nodes, dtype=np.int64)
+    node_qd[self_serial] = qd
+    node_ok = np.zeros(n_nodes, dtype=bool)
+    node_ok[self_serial] = ok
+    node_la = np.zeros(n_nodes)
+    node_la[self_serial] = la
+    node_tid = np.zeros(n_nodes, dtype=np.int64)
+    node_tid[self_serial] = tid
+    node_x = np.zeros(n_nodes, dtype=np.int64)
+    node_x[self_serial] = px
+    node_y = np.zeros(n_nodes, dtype=np.int64)
+    node_y[self_serial] = py
+    node_exit = np.full(n_nodes, -1, dtype=np.int64)
+    node_exit[self_serial] = exit_nid
+
+    exit_ids = np.flatnonzero(
+        node_ok & (node_qd >= 1) & (node_qd <= 8)
+        & (node_x == node_qx) & (node_y == node_qy)
+    )
+    # exit cells are exactly nodes whose own dir leaves the tile; their
+    # stored (qx,qy) is themselves
+    gx = (ttxy[node_tid[exit_ids], 0] * meta.tile_w + node_x[exit_ids]
+          + D8X[node_qd[exit_ids]])
+    gy = (ttxy[node_tid[exit_ids], 1] * meta.tile_h + node_y[exit_ids]
+          + D8Y[node_qd[exit_ids]])
+    on_dem = (gx >= 0) & (gx < meta.width) & (gy >= 0) & (gy < meta.height)
+    t2x = np.where(on_dem, gx // meta.tile_w, 0)
+    t2y = np.where(on_dem, gy // meta.tile_h, 0)
+    tid2 = np.array(
+        [tid_of.get((int(a), int(b)), -1) for a, b in zip(t2x, t2y)],
+        dtype=np.int64,
+    )
+    rx = gx - t2x * meta.tile_w
+    ry = gy - t2y * meta.tile_h
+    r_nid = np.where(
+        on_dem & (tid2 >= 0),
+        base[np.clip(tid2, 0, ntile - 1)]
+        + _serial_of(rx, ry, tdims[np.clip(tid2, 0, ntile - 1), 0],
+                     tdims[np.clip(tid2, 0, ntile - 1), 1]),
+        -1,
+    )
+    r_valid = np.where(r_nid >= 0, node_ok[np.clip(r_nid, 0, n_nodes - 1)],
+                       False)
+    r_nid = np.where(r_valid, r_nid, -1)
+    # successor exit node: the entry cell's own in-tile exit, if that
+    # exit leaves its tile
+    succ_exit = np.where(
+        r_nid >= 0, node_exit[np.clip(r_nid, 0, n_nodes - 1)], -1
+    )
+    succ_is_exit = np.where(
+        succ_exit >= 0,
+        node_qd[np.clip(succ_exit, 0, n_nodes - 1)] != 0, False,
+    )
+    succ_exit = np.where(succ_is_exit, succ_exit, -1)
+
+    # Kahn over exit nodes
+    exit_index = np.full(n_nodes, -1, dtype=np.int64)
+    exit_index[exit_ids] = np.arange(len(exit_ids))
+    indeg = np.zeros(len(exit_ids), dtype=np.int64)
+    se_idx = np.where(succ_exit >= 0, exit_index[np.clip(succ_exit, 0,
+                                                         n_nodes - 1)], -1)
+    np.add.at(indeg, se_idx[se_idx >= 0], 1)
+    recv = np.zeros(len(exit_ids))
     entry_offsets: dict[tuple, dict[tuple, float]] = defaultdict(dict)
 
-    def route_of(cell):
-        """Exit node reached from an entry cell, or None if the path
-        terminates in-tile."""
-        if cell not in route or not valid[cell]:
-            return None
-        qx, qy, qdir = route[cell]
-        if qdir == 0:
-            return None
-        return (cell[0], qx, qy)
-
-    # build indegrees: edge e -> route(handoff-target(e))
-    succ = {}
-    for e in exit_set:
-        qx, qy, qdir = route[e][0], route[e][1], route[e][2]
-        # e IS the exit cell, so its own stored route points to itself
-        tgt = handoff(e[0], e[1], e[2], route[e][2])
-        if tgt is None:
-            succ[e] = (None, None)
-            continue
-        (tt, rx, ry) = tgt
-        rcell = (tt, rx, ry)
-        if rcell not in valid or not valid[rcell]:
-            succ[e] = (None, None)  # flows into NoData: disappears
-            continue
-        e2 = route_of(rcell)
-        succ[e] = (rcell, e2)
-        if e2 is not None:
-            indeg[e2] += 1
-
-    ready = deque(e for e in exit_set if indeg[e] == 0)
+    ready = deque(np.flatnonzero(indeg == 0).tolist())
     done = 0
     while ready:
-        e = ready.popleft()
+        ei = ready.popleft()
         done += 1
-        amount = laccum[e] + recv[e]
-        rcell, e2 = succ[e]
-        if rcell is None:
+        amount = node_la[exit_ids[ei]] + recv[ei]
+        rn = r_nid[ei]
+        if rn < 0 or amount == 0.0:
             continue
-        t2 = rcell[0]
-        key = (rcell[1], rcell[2])
+        t2 = (int(ttxy[node_tid[rn], 0]), int(ttxy[node_tid[rn], 1]))
+        key = (int(node_x[rn]), int(node_y[rn]))
         entry_offsets[t2][key] = entry_offsets[t2].get(key, 0.0) + amount
-        if e2 is not None:
+        e2 = se_idx[ei]
+        if e2 >= 0:
             recv[e2] += amount
             indeg[e2] -= 1
             if indeg[e2] == 0:
-                ready.append(e2)
-    if done != len(exit_set):
+                ready.append(int(e2))
+    if done != len(exit_ids):
         raise RuntimeError(
-            f"cross-tile flow loop detected: {len(exit_set) - done} "
+            f"cross-tile flow loop detected: {len(exit_ids) - done} "
             "perimeter cells unresolved (cf. rd_loop_check)"
         )
     return entry_offsets

@@ -1,0 +1,140 @@
+"""Depression hierarchy + fill-spill-merge property tests, mirroring the
+reference's own strategy (tests/fsm_tests.cpp:467-527, 638, 687):
+FSM with overwhelming water == Priority-Flood fill; repetition is
+idempotent; water is conserved."""
+
+import numpy as np
+import pytest
+
+from richdem_spark.kernels.dephier import (
+    NO_VALUE,
+    OCEAN,
+    Depression,
+    get_depression_hierarchy,
+    last_layer,
+)
+from richdem_spark.kernels.fill import priority_flood_fill
+from richdem_spark.kernels.fsm import fill_spill_merge, overflow
+
+
+def _ocean_border_labels(h, w):
+    lab = np.full((h, w), -1, dtype=np.int64)
+    lab[0, :] = OCEAN
+    lab[-1, :] = OCEAN
+    lab[:, 0] = OCEAN
+    lab[:, -1] = OCEAN
+    return lab
+
+
+def _random_terrain(seed, lo=10, hi=30):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(lo, hi))
+    dem = rng.integers(0, 100, (n, n)).astype(np.float64)
+    # border forced to ocean level (fsm_tests.cpp:474-527 pattern)
+    dem[0, :] = 0
+    dem[-1, :] = 0
+    dem[:, 0] = 0
+    dem[:, -1] = 0
+    return dem
+
+
+def test_hierarchy_structure():
+    dem = np.array([
+        [0, 0, 0, 0, 0, 0, 0],
+        [0, 9, 9, 9, 9, 9, 0],
+        [0, 9, 1, 9, 2, 9, 0],
+        [0, 9, 9, 9, 9, 9, 0],
+        [0, 0, 0, 0, 0, 0, 0],
+    ], dtype=np.float64)
+    labels = _ocean_border_labels(*dem.shape)
+    deps, lab, flow = get_depression_hierarchy(dem, labels)
+    # ocean + 2 pits (+ their merge node, if they merge below the ocean
+    # link level)
+    pits = [d for d in deps[1:] if d.lchild == NO_VALUE]
+    assert len([p for p in pits if p.pit_elev in (1.0, 2.0)]) == 2
+    # volumes: the two 1-cell pits under outlet 9 hold 8 and 7 units
+    vols = sorted(
+        d.dep_vol for d in deps[1:] if d.pit_elev in (1.0, 2.0)
+    )
+    # out_elev for each pit is where it meets the other or the ocean
+    assert all(v > 0 for v in vols)
+    # labels partition land cells
+    assert (lab[dem == 1] > 0).all() and (lab[dem == 2] > 0).all()
+
+
+def test_hierarchy_volumes_match_fill():
+    """Sum of top-level depression volumes == volume added by the
+    priority-flood fill (same water, two derivations)."""
+    for seed in range(5):
+        dem = _random_terrain(seed)
+        h, w = dem.shape
+        labels = _ocean_border_labels(h, w)
+        deps, lab, flow = get_depression_hierarchy(dem, labels)
+        filled = priority_flood_fill(dem)
+        fill_volume = (filled - dem).sum()
+        top_vol = sum(
+            deps[d].dep_vol for d in range(1, len(deps))
+            if deps[d].ocean_parent or deps[d].parent == NO_VALUE
+        )
+        assert top_vol == pytest.approx(fill_volume, rel=1e-9), seed
+
+
+def test_fsm_lots_of_water_equals_fill():
+    """fsm_tests.cpp:467-471: FSM with enormous surface water must equal
+    the priority-flood fill."""
+    for seed in range(6):
+        dem = _random_terrain(seed + 100)
+        h, w = dem.shape
+        labels = _ocean_border_labels(h, w)
+        deps, lab, flow = get_depression_hierarchy(dem, labels)
+        wtd = np.full((h, w), 1000.0)
+        out = fill_spill_merge(dem, lab, flow, deps, wtd)
+        surface = dem + out
+        filled = priority_flood_fill(dem)
+        assert np.allclose(surface, filled, atol=1e-6), seed
+
+
+def test_fsm_idempotent():
+    """fsm_tests.cpp:474-527: re-running FSM on its own output changes
+    nothing (within fp tolerance)."""
+    for seed in range(4):
+        dem = _random_terrain(seed + 200)
+        h, w = dem.shape
+        labels = _ocean_border_labels(h, w)
+        deps, lab, flow = get_depression_hierarchy(dem, labels)
+        wtd = np.full((h, w), 3.0)
+        out1 = fill_spill_merge(dem, lab, flow, deps, wtd)
+        deps2, lab2, flow2 = get_depression_hierarchy(dem, labels)
+        out2 = fill_spill_merge(dem, lab2, flow2, deps2, out1)
+        assert np.allclose(out1, out2, atol=1e-6), seed
+
+
+def test_fsm_mass_conservation_closed_basin():
+    """Water poured into an interior basin that cannot reach the ocean is
+    fully retained (fsm_tests.cpp:687 spirit)."""
+    dem = np.array([
+        [0, 0, 0, 0, 0, 0, 0],
+        [0, 9, 9, 9, 9, 9, 0],
+        [0, 9, 1, 1, 1, 9, 0],
+        [0, 9, 1, 1, 1, 9, 0],
+        [0, 9, 9, 9, 9, 9, 0],
+        [0, 0, 0, 0, 0, 0, 0],
+    ], dtype=np.float64)
+    h, w = dem.shape
+    labels = _ocean_border_labels(h, w)
+    deps, lab, flow = get_depression_hierarchy(dem, labels)
+    wtd = np.zeros((h, w))
+    wtd[3, 3] = 5.0  # pour 5 units into the pit; capacity = 6 cells*(9-1)
+    out = fill_spill_merge(dem, lab, flow, deps, wtd)
+    assert out.sum() == pytest.approx(5.0, rel=1e-9)
+    # level: 5 units over the 6 floor cells at elev 1 -> 1 + 5/6
+    level = (dem + out)[out > 0]
+    assert np.allclose(level, 1 + 5.0 / 6.0)
+
+
+def test_last_layer():
+    dem = _random_terrain(7)
+    labels = _ocean_border_labels(*dem.shape)
+    deps, lab, flow = get_depression_hierarchy(dem, labels)
+    ll = last_layer(lab, dem, deps)
+    assert ll.shape == dem.shape
