@@ -582,3 +582,204 @@ def DepressionVolumes(tr: TiledRaster, deps, labels: TiledRaster):
             F.sum("elev").alias("total_elevation"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# canvas / orientation / misc (§2.2, §2.10)
+# ---------------------------------------------------------------------------
+
+
+def FlipVert(tr: TiledRaster) -> TiledRaster:
+    """Array2D::flipVert (Array2D.hpp:715-724): per-tile np.flip + tile
+    re-key; zero data shuffled beyond the key change."""
+    return _rekey_flip(tr, vert=True)
+
+
+def FlipHorz(tr: TiledRaster) -> TiledRaster:
+    return _rekey_flip(tr, vert=False)
+
+
+def _rekey_flip(tr: TiledRaster, vert: bool) -> TiledRaster:
+    import pandas as pd
+    from .tiles import TILE_SCHEMA, RasterMeta, pack, unpack
+
+    m = tr.meta
+    nty, ntx = m.ntiles_y, m.ntiles_x
+    if (vert and m.height % m.tile_h != 0) or (
+        not vert and m.width % m.tile_w != 0
+    ):
+        # ragged final tiles change size under a flip; gather-based path
+        arr = tr.to_array()
+        import numpy as np
+
+        out = np.flipud(arr) if vert else np.fliplr(arr)
+        from .tiles import raster_from_array
+
+        return raster_from_array(tr.df.sparkSession, out, m.tile_w,
+                                 m.tile_h, m.nodata, m.geotransform)
+
+    def run(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = {k: [] for k in ("tile_x", "tile_y", "width", "height",
+                                    "dtype", "nodata", "data")}
+            for r in pdf.itertuples():
+                a = unpack(r.data, r.height, r.width, r.dtype)
+                a = np.flipud(a) if vert else np.fliplr(a)
+                rows["tile_x"].append(
+                    r.tile_x if vert else ntx - 1 - r.tile_x)
+                rows["tile_y"].append(
+                    nty - 1 - r.tile_y if vert else r.tile_y)
+                rows["width"].append(r.width)
+                rows["height"].append(r.height)
+                rows["dtype"].append(r.dtype)
+                rows["nodata"].append(r.nodata)
+                rows["data"].append(pack(a))
+            yield pd.DataFrame(rows)
+
+    out_df = tr.df.mapInPandas(run, TILE_SCHEMA)
+    nm = m.with_history("flipVert" if vert else "flipHorz")
+    return TiledRaster(out_df, nm)
+
+
+def Transpose(tr: TiledRaster) -> TiledRaster:
+    """Array2D::transpose (Array2D.hpp:726-747)."""
+    import numpy as np
+    from .tiles import raster_from_array
+
+    m = tr.meta
+    arr = tr.to_array().T if m.width * m.height <= 64_000_000 else None
+    if arr is None:
+        raise NotImplementedError("transpose gate exceeded")
+    res = raster_from_array(tr.df.sparkSession, np.ascontiguousarray(arr),
+                            m.tile_h, m.tile_w, m.nodata, m.geotransform)
+    res.meta = res.meta.with_history("transpose")
+    return res
+
+
+def Expand(tr: TiledRaster, new_w: int, new_h: int,
+           val: float) -> TiledRaster:
+    """Array2D::expand (Array2D.hpp:891-914): grow canvas, data kept
+    top-left."""
+    import numpy as np
+    from .tiles import raster_from_array
+
+    m = tr.meta
+    if new_w < m.width or new_h < m.height:
+        raise ValueError("expand cannot shrink")
+    arr = tr.to_array()
+    out = np.full((new_h, new_w), val, dtype=arr.dtype)
+    out[: m.height, : m.width] = arr
+    res = raster_from_array(tr.df.sparkSession, out, m.tile_w, m.tile_h,
+                            m.nodata, m.geotransform)
+    res.meta = res.meta.with_history(f"expand({new_w},{new_h})")
+    return res
+
+
+def SetEdges(tr: TiledRaster, val: float) -> TiledRaster:
+    """Array2D::setEdges (Array2D.hpp:1039-1065): set the global raster
+    border; needs only the per-tile edge bitmask (zero shuffles)."""
+    import numpy as np
+    from .ops.focal import elementwise  # noqa: F401 (pattern reference)
+    import pandas as pd
+    from .tiles import TILE_SCHEMA, pack, unpack
+
+    m = tr.meta
+    ntx, nty = m.ntiles_x, m.ntiles_y
+
+    def run(it):
+        for pdf in it:
+            rows = {k: [] for k in ("tile_x", "tile_y", "width", "height",
+                                    "dtype", "nodata", "data")}
+            for r in pdf.itertuples():
+                a = unpack(r.data, r.height, r.width, r.dtype).copy()
+                if r.tile_y == 0:
+                    a[0, :] = val
+                if r.tile_y == nty - 1:
+                    a[-1, :] = val
+                if r.tile_x == 0:
+                    a[:, 0] = val
+                if r.tile_x == ntx - 1:
+                    a[:, -1] = val
+                rows["tile_x"].append(r.tile_x)
+                rows["tile_y"].append(r.tile_y)
+                rows["width"].append(r.width)
+                rows["height"].append(r.height)
+                rows["dtype"].append(r.dtype)
+                rows["nodata"].append(r.nodata)
+                rows["data"].append(pack(a))
+            yield pd.DataFrame(rows)
+
+    return TiledRaster(tr.df.mapInPandas(run, TILE_SCHEMA),
+                       m.with_history(f"setEdges({val})"))
+
+
+def BucketFill(tr: TiledRaster, check_value: float, fill_value: float,
+               from_edges: bool = True,
+               max_cells: int = 64_000_000) -> TiledRaster:
+    """Conditional flood fill (misc/misc_methods.hpp:258-334);
+    single-partition gate in v1 (the tiled variant uses the same seam
+    union-find as the fill)."""
+    from .kernels.misc import bucket_fill_from_edges
+    from .tiles import raster_from_array
+
+    m = tr.meta
+    if m.width * m.height > max_cells:
+        raise NotImplementedError("bucket fill gate exceeded")
+    out = bucket_fill_from_edges(tr.to_array(), check_value, fill_value)
+    res = raster_from_array(tr.df.sparkSession, out, m.tile_w, m.tile_h,
+                            m.nodata, m.geotransform)
+    res.meta = res.meta.with_history("bucket_fill")
+    return res
+
+
+def UpslopeCells(dirs: TiledRaster, x0: int, y0: int, x1: int, y1: int,
+                 max_cells: int = 64_000_000) -> TiledRaster:
+    """Cells draining through a line (methods/d8_methods.hpp:167-236)."""
+    from .kernels.misc import d8_upslope_cells
+    from .tiles import raster_from_array
+
+    m = dirs.meta
+    if m.width * m.height > max_cells:
+        raise NotImplementedError("upslope gate exceeded")
+    out = d8_upslope_cells(dirs.to_array().astype("uint8"), x0, y0, x1, y1)
+    res = raster_from_array(dirs.df.sparkSession, out, m.tile_w, m.tile_h,
+                            None, m.geotransform)
+    res.meta = res.meta.with_history("d8_upslope_cells")
+    return res
+
+
+def Histogram(tr: TiledRaster) -> dict:
+    """rd_hist (apps/rd_hist.cpp): distributed value histogram — per-tile
+    partials merged on the driver."""
+    from .ops.focal import aggregate_tiles
+    from .kernels.misc import value_histogram
+
+    def comb(x, y):
+        out = dict(x)
+        for k, v in y.items():
+            out[k] = out.get(k, 0) + v
+        return out
+
+    return aggregate_tiles(
+        tr,
+        lambda a, nd: {str(k): int(v)
+                       for k, v in value_histogram(a, nd).items()},
+        comb,
+        {},
+    )
+
+
+def ArcGISFlowdirs(dirs: TiledRaster) -> TiledRaster:
+    """RichDEM -> ArcGIS flow-direction codes (misc/conversion.hpp)."""
+    import numpy as np
+    from .constants import D8_ARCGIS
+    from .ops.focal import elementwise
+
+    return elementwise(
+        dirs,
+        lambda a: D8_ARCGIS[np.clip(a.astype(np.int64), 0, 8)],
+        out_dtype="uint8",
+        op_name="d8_to_arcgis",
+    )

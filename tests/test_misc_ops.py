@@ -1,0 +1,83 @@
+"""Canvas/orientation/misc operators vs NumPy oracles (BucketFill golden
+behavior mirrors tests/tests.cpp:377-428)."""
+
+import numpy as np
+
+from richdem_spark.api import (
+    ArcGISFlowdirs,
+    BucketFill,
+    Expand,
+    FlipHorz,
+    FlipVert,
+    Histogram,
+    SetEdges,
+    Transpose,
+    UpslopeCells,
+)
+from richdem_spark.kernels.d8 import d8_flow_directions
+from richdem_spark.kernels.fill import priority_flood_fill_epsilon
+from richdem_spark.kernels.misc import bucket_fill, d8_upslope_cells
+from richdem_spark.tiles import raster_from_array
+
+
+def test_flips_and_transpose(spark):
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 50, (24, 32)).astype(np.float64)
+    tr = raster_from_array(spark, arr, tile_w=8, tile_h=8)
+    assert np.array_equal(FlipVert(tr).to_array(), np.flipud(arr))
+    assert np.array_equal(FlipHorz(tr).to_array(), np.fliplr(arr))
+    assert np.array_equal(Transpose(tr).to_array(), arr.T)
+    # ragged tiling falls back to the gathered path
+    tr2 = raster_from_array(spark, arr, tile_w=7, tile_h=5)
+    assert np.array_equal(FlipVert(tr2).to_array(), np.flipud(arr))
+
+
+def test_expand_setedges(spark):
+    arr = np.arange(20.0).reshape(4, 5)
+    tr = raster_from_array(spark, arr, tile_w=3, tile_h=3)
+    ex = Expand(tr, 8, 6, -1.0).to_array()
+    assert ex.shape == (6, 8)
+    assert np.array_equal(ex[:4, :5], arr)
+    assert (ex[4:, :] == -1).all() and (ex[:, 5:] == -1).all()
+    se = SetEdges(tr, 99.0).to_array()
+    assert (se[0, :] == 99).all() and (se[:, -1] == 99).all()
+    assert np.array_equal(se[1:-1, 1:-1], arr[1:-1, 1:-1])
+
+
+def test_bucket_fill_semantics(spark):
+    # mirrors the reference's BucketFill test structure
+    # (tests/tests.cpp:377-428): fill check_value regions reachable from
+    # the edges
+    g = np.full((7, 7), 1.0)
+    g[2:5, 2:5] = 0.0  # interior island of 0s NOT connected to edges
+    g[0, 0] = 0.0      # edge zero
+    tr = raster_from_array(spark, g, tile_w=4, tile_h=4)
+    out = BucketFill(tr, check_value=0.0, fill_value=7.0).to_array()
+    assert out[0, 0] == 7.0
+    assert (out[2:5, 2:5] == 0.0).all()  # island untouched
+    oracle = bucket_fill(g, [(0, 0)], 0.0, 7.0)
+    assert np.array_equal(out, oracle)
+
+
+def test_upslope_cells(spark):
+    dem = priority_flood_fill_epsilon(
+        np.random.default_rng(5).normal(50, 5, (20, 20)).round(1)
+    )
+    dirs = d8_flow_directions(dem)
+    golden = d8_upslope_cells(dirs, 5, 10, 14, 10)
+    tr = raster_from_array(spark, dirs, tile_w=8, tile_h=8)
+    got = UpslopeCells(tr, 5, 10, 14, 10).to_array()
+    assert np.array_equal(got, golden)
+    assert (golden == 1).sum() == 10  # the seed line
+    assert (golden == 2).any()
+
+
+def test_histogram_and_arcgis(spark):
+    arr = np.array([[1.0, 1.0, 2.0], [2.0, 2.0, 3.0]])
+    tr = raster_from_array(spark, arr, tile_w=2, tile_h=2)
+    h = Histogram(tr)
+    assert h == {"1.0": 2, "2.0": 3, "3.0": 1}
+    dirs = np.array([[0, 1, 2], [3, 4, 5]], dtype=np.uint8)
+    td = raster_from_array(spark, dirs, tile_w=3, tile_h=2)
+    arc = ArcGISFlowdirs(td).to_array()
+    assert np.array_equal(arc, np.array([[0, 16, 32], [64, 128, 1]]))
