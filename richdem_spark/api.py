@@ -118,7 +118,14 @@ def FlowAccumulation(
         dirs = FlowProportions(tr, method, **params)
         return flow_accumulation_d8(dirs)
     if method in _MFD_METHODS:
-        return _mfd_accumulation_single_tile(tr, method, **params)
+        m = tr.meta
+        if m.ntiles_x == 1 and m.ntiles_y == 1:
+            return _mfd_accumulation_single_tile(tr, method, **params)
+        from .ops.mfd import flow_accumulation_mfd
+
+        return flow_accumulation_mfd(
+            tr, method, exponent=params.get("exponent")
+        )
     raise KeyError(
         f"method {method!r}; available {sorted(_SFD_METHODS | _MFD_METHODS)}"
     )

@@ -173,8 +173,11 @@ def _solve_perimeter_graph(perim_rows, meta: RasterMeta):
     w_t = tdims[tid, 0]
     h_t = tdims[tid, 1]
 
-    # node id of each perimeter cell's in-tile exit
-    has_route = ok & (qx >= 0)
+    # node id of each perimeter cell's in-tile exit — defined ONLY when
+    # the path leaves the tile (qd != 0); a path terminating at an
+    # interior cell has no perimeter serial (interior coords would alias
+    # onto unrelated perimeter nodes)
+    has_route = ok & (qx >= 0) & (qd != 0)
     exit_nid = np.where(
         has_route, base[tid] + _serial_of(qx, qy, w_t, h_t), -1
     )

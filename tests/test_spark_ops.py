@@ -130,13 +130,27 @@ def test_mfd_accumulation_single_tile(spark):
     tr = raster_from_array(spark, dem, tile_w=64, tile_h=64)
     got = FlowAccumulation(tr, "Quinn").to_array()
     assert np.allclose(got, golden)
-    # multi-tile MFD is explicitly gated
-    import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        FlowAccumulation(
-            raster_from_array(spark, dem, tile_w=8, tile_h=8), "Quinn"
-        )
+
+@pytest.mark.parametrize("method", ["Quinn", "Freeman", "Holmgren",
+                                    "Tarboton"])
+def test_mfd_accumulation_distributed(spark, method):
+    """Iterative seam-exchange MFD == single-grid oracle at any tiling
+    (linearity of accumulation in its sources)."""
+    from richdem_spark.api import FlowAccumulation
+    from richdem_spark.kernels import flowmet as fmk
+
+    dem = priority_flood_fill(_random_dem(31, 26, 23))
+    fm = {
+        "Quinn": fmk.fm_quinn,
+        "Freeman": fmk.fm_freeman,
+        "Holmgren": fmk.fm_holmgren,
+        "Tarboton": fmk.fm_tarboton,
+    }[method]
+    golden = fmk.prop_flow_accum(fm(dem, None))
+    tr = raster_from_array(spark, dem, tile_w=7, tile_h=10)
+    got = FlowAccumulation(tr, method).to_array()
+    assert np.allclose(got, golden, atol=1e-9), method
 
 
 def test_dinf_directions_distributed(spark):
