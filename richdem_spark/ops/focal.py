@@ -36,6 +36,7 @@ def apply_focal(
     op_name: str = "focal",
     halo_fill: float | None = None,
     pass_coords: bool = False,
+    metrics=None,
 ) -> TiledRaster:
     """Apply ``kernel(padded_grid, **kwargs) -> grid`` per tile with halo.
 
@@ -63,6 +64,9 @@ def apply_focal(
                     else []
                 )
                 padded, pt, pl = assemble_padded(core, strips, r.dtype, fill)
+                import time as _time
+
+                t0 = _time.perf_counter()
                 if pass_coords:
                     # global coordinates of padded[0,0] (for kernels with
                     # per-cell seeded RNG / global-id semantics)
@@ -75,6 +79,12 @@ def apply_focal(
                     out = kernel(padded, **kw2)
                 else:
                     out = kernel(padded, **kw)
+                if metrics is not None:
+                    metrics.record(
+                        op_name, r.tile_x, r.tile_y,
+                        r.width * r.height,
+                        _time.perf_counter() - t0,
+                    )
                 core_out = out[pt : pt + r.height, pl : pl + r.width]
                 rows["tile_x"].append(r.tile_x)
                 rows["tile_y"].append(r.tile_y)
