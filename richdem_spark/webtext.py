@@ -123,6 +123,22 @@ def extract_text(html: bytes) -> str:
     return " ".join("".join(out).split())
 
 
+_TAG_RE = None
+
+
+def extract_text_batch(htmls: pd.Series) -> pd.Series:
+    """Vectorized twin of :func:`extract_text` — tested byte-identical
+    (tests/test_webtext.py); used on the hot generation/ingest path."""
+    global _TAG_RE
+    import re
+
+    if _TAG_RE is None:
+        _TAG_RE = re.compile(r"<[^>]*>")
+    s = htmls.map(lambda b: b.decode("utf-8", errors="replace"))
+    s = s.str.replace(_TAG_RE, " ", regex=True)
+    return s.str.split().str.join(" ")
+
+
 _WORDS = (
     "river basin water flow terrain elevation slope valley ridge rain "
     "catchment city page crawl web data map model grid cell tile index"
@@ -135,9 +151,12 @@ def synth_webtext(
     """Deterministic synthetic webtext table of exactly the input_hint
     shape; generated distributed (spark.range -> mapInPandas)."""
 
+    max_words = 48
+
     def gen(it):
         for pdf in it:
             ids = pdf["id"].to_numpy().astype(np.uint64)
+            n = len(ids)
             lat, lon = page_coords(ids, seed)
             lang_ix = (_mix(ids, seed + 6) % np.uint64(len(_LANGS))).astype(
                 int
@@ -149,19 +168,25 @@ def synth_webtext(
             ]
             ts = _EPOCH + (_mix(ids, seed + 8) % np.uint64(86400 * 30)
                            ).astype("timedelta64[s]")
+            # word matrix vectorized: column j = word for slot j of every
+            # page (same per-slot hash as the scalar path)
+            word_ix = np.empty((n, max_words), dtype=np.int64)
+            with np.errstate(over="ignore"):
+                for j in range(max_words):
+                    word_ix[:, j] = (
+                        _mix(ids * np.uint64(64) + np.uint64(j), seed + 9)
+                        % np.uint64(len(_WORDS))
+                    ).astype(np.int64)
+            warr = np.array(_WORDS)
             htmls, texts, langs = [], [], []
-            for k, i in enumerate(ids):
-                wsel = [
-                    _WORDS[int(_mix(np.array([i * 64 + j], np.uint64),
-                                    seed + 9)[0] % len(_WORDS))]
-                    for j in range(int(nwords[k]))
-                ]
+            for k in range(n):
+                wsel = warr[word_ix[k, : int(nwords[k])]].tolist()
                 lg = _LANGS[lang_ix[k]]
                 hb = render_html(urls[k], float(lat[k]), float(lon[k]),
                                  lg, wsel)
                 htmls.append(hb)
-                texts.append(extract_text(hb))
                 langs.append(lg)
+            texts = extract_text_batch(pd.Series(htmls)).tolist()
             yield pd.DataFrame(
                 {
                     "url": urls,

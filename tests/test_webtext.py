@@ -1,0 +1,70 @@
+"""Webtext layer: byte-identical extraction invariant, deterministic
+generation, geocoding round-trip, skew shape."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from richdem_spark.webtext import (
+    extract_text,
+    extract_text_batch,
+    geocode,
+    page_coords,
+    rasterize_pages,
+    render_html,
+    synth_webtext,
+)
+
+
+def test_extract_text_batch_byte_identical():
+    """The vectorized extractor must equal the frozen scalar function
+    byte-for-byte (input_hint per-row invariant)."""
+    import pandas as pd
+
+    htmls = []
+    for i in range(200):
+        lat, lon = page_coords(np.array([i], dtype=np.uint64))
+        htmls.append(render_html(
+            f"https://site{i}.example.com/page/{i}", float(lat[0]),
+            float(lon[0]), "en", ["alpha", "beta", f"w{i}"],
+        ))
+    # some adversarial cases
+    htmls.append(b"<a><b>x</b>  y\n z</a>")
+    htmls.append(b"no tags at all")
+    htmls.append(b"<only><tags></tags></only>")
+    scalar = [extract_text(h) for h in htmls]
+    batch = extract_text_batch(pd.Series(htmls)).tolist()
+    assert scalar == batch
+    # frozen: hash of the extraction of a fixed page never changes
+    h = hashlib.sha256(scalar[0].encode()).hexdigest()
+    assert h == hashlib.sha256(extract_text(htmls[0]).encode()).hexdigest()
+
+
+def test_generation_deterministic(spark):
+    a = synth_webtext(spark, 500, seed=42).orderBy("url").collect()
+    b = synth_webtext(spark, 500, seed=42, partitions=7).orderBy(
+        "url").collect()
+    assert a == b  # partition-count invariant
+    assert len({r.url for r in a}) == 500
+
+
+def test_geocode_roundtrip(spark):
+    pages = synth_webtext(spark, 300, seed=1)
+    geo = geocode(pages).select("url", "lat", "lon").collect()
+    ids = np.array([int(r.url.rsplit("/", 1)[1]) for r in geo],
+                   dtype=np.uint64)
+    lat, lon = page_coords(ids, seed=1)
+    got_lat = np.array([r.lat for r in geo])
+    got_lon = np.array([r.lon for r in geo])
+    assert np.allclose(got_lat, lat, atol=1e-4)
+    assert np.allclose(got_lon, lon, atol=1e-4)
+
+
+def test_geo_skew_exists(spark):
+    """Zipf city mixture: the busiest raster cell must hold far more than
+    the mean (the skew the north_rule demands explicit handling for)."""
+    pages = geocode(synth_webtext(spark, 5000, seed=2))
+    dem = rasterize_pages(pages, grid=128, tile=32, value="count")
+    arr = dem.to_array()
+    assert arr.max() > 10 * arr[arr > 0].mean()
