@@ -195,6 +195,43 @@ def q_raster_vector_pair(spark, sf_dir):
     )
 
 
+ACC_GRID = 48
+ACC_TILE = 16
+# deterministic acyclic D8 direction field over a 48x48 grid: every cell
+# flows strictly westward (W=1, NW=2, SW=8 in the reference numbering),
+# choice by integer hash -> the flow graph is a random forest and the
+# distributed two-round accumulation can be value-checked against a
+# recursive-CTE oracle
+DIR_H = "((gx * 2654435761 + gy * 40503) % 97)"
+
+
+def q_flow_accum_dirs(spark, sf_dir):
+    """Distributed D8 flow accumulation (ops/accum.py two-round
+    perimeter-graph algorithm) on a hash-derived direction field —
+    value-checked against DuckDB's recursive closure."""
+    import numpy as np
+
+    from richdem_spark.ops.accum import flow_accumulation_d8
+    from richdem_spark.tiles import raster_from_array
+
+    g = ACC_GRID
+    gy, gx = np.mgrid[0:g, 0:g]
+    h = (gx.astype(np.int64) * 2654435761 + gy.astype(np.int64) * 40503) \
+        % 97
+    pick = h % 3  # 0->W, 1->NW, 2->SW
+    dirs = np.where(pick == 0, 1, np.where(pick == 1, 2, 8))
+    dirs = np.where((pick == 1) & (gy == 0), 1, dirs)      # no NW on top
+    dirs = np.where((pick == 2) & (gy == g - 1), 1, dirs)  # no SW on bottom
+    dirs = np.where(gx == 0, 0, dirs).astype(np.uint8)     # west edge sinks
+    tr = raster_from_array(spark, dirs, tile_w=ACC_TILE, tile_h=ACC_TILE)
+    acc = flow_accumulation_d8(tr)
+    return acc.cells().select(
+        F.col("x").cast("long").alias("gx"),
+        F.col("y").cast("long").alias("gy"),
+        F.col("value").cast("long").alias("accum"),
+    )
+
+
 def q_fill_accum_demo(spark, sf_dir):
     """Hydrology flagship (rows-only check — Priority-Flood + D8
     accumulation are not SQL-expressible; their exactness is proven in
@@ -441,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_assign": q_pip_assign,
         "knn_sites": q_knn_sites,
         "raster_vector_pair": q_raster_vector_pair,
+        "flow_accum_dirs": q_flow_accum_dirs,
         "fill_accum_demo": q_fill_accum_demo,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -564,6 +602,34 @@ def oracle_sql() -> dict[str, str]:
             select doc_id::bigint as doc_id, site_id, rank::bigint as rank,
                    round(d2, 6)::double as d2
             from r where rank <= 3
+        """,
+        "flow_accum_dirs": f"""
+            with recursive grid as (
+                select gx, gy,
+                       case when gx = 0 then 0
+                            when {DIR_H} % 3 = 0 then 1
+                            when {DIR_H} % 3 = 1 then
+                                 (case when gy = 0 then 1 else 2 end)
+                            else (case when gy = {ACC_GRID - 1} then 1
+                                       else 8 end)
+                       end as dir
+                from (select a.range as gx, b.range as gy
+                      from range({ACC_GRID}) a, range({ACC_GRID}) b)
+            ),
+            -- D8 offsets: 1=W (-1,0), 2=NW (-1,-1), 8=SW (-1,+1)
+            step(cx, cy) as (
+                select gx, gy from grid
+                union all
+                select g.gx + (case when g.dir in (1,2,8) then -1
+                                    else 0 end),
+                       g.gy + (case g.dir when 2 then -1 when 8 then 1
+                                          else 0 end)
+                from step s join grid g on g.gx = s.cx and g.gy = s.cy
+                where g.dir != 0
+            )
+            select cx::bigint as gx, cy::bigint as gy,
+                   count(*)::bigint as accum
+            from step group by cx, cy
         """,
         "raster_vector_pair": f"""
             with cells as ({_CELLS}),

@@ -51,11 +51,18 @@ def run_job(cpus: int, out_npy: str, grid: int = GRID,
     dirs = FlowDirectionsD8(filled).persist()
     dirs.df.count()
     acc = FlowAccumulationFromDirs(dirs)
-    arr = acc.to_array()
-    t_acc = time.perf_counter()
-
     if out_npy:
+        arr = acc.to_array()  # full gather only when outputs are compared
+        t_acc = time.perf_counter()
         np.save(out_npy, arr)
+    else:
+        from richdem_spark.ops.focal import aggregate_tiles
+
+        checksum = aggregate_tiles(
+            acc, lambda a, nd: float(a.sum()), lambda x, y: x + y, 0.0
+        )
+        t_acc = time.perf_counter()
+        print(f"# weak checksum {checksum}")
     cells = grid * grid
     res = {
         "cpus": cpus,
