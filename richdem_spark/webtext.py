@@ -221,17 +221,21 @@ def rasterize_pages(
     pages_geo: DataFrame,
     grid: int = 1024,
     tile: int = 256,
-    salt_buckets: int = 8,
+    salt_buckets: int = 0,
     value: str = "log1p",
 ) -> TiledRaster:
     """Bin geocoded pages into a ``grid x grid`` raster; elevation =
     log1p(page count) per cell (deterministic aggregate per FIXTURES.md
     §5).
 
-    Skew handling (explicit per north_rule): the cell-count aggregation is
-    **two-phase salted** — partial counts on ``(salt, tile, x, y)`` then a
-    final combine — so one hot city cannot pin a single reducer; tile
-    assembly then groups at most ``tile*tile`` counted rows per tile.
+    Skew handling (explicit per north_rule): COUNT is algebraic, so
+    Spark's map-side partial aggregation already splits a hot city's rows
+    across every input partition before the shuffle — one reducer sees at
+    most |cells| combined rows, never |pages|.  ``salt_buckets > 0``
+    additionally inserts an explicit salted pre-aggregation
+    ``(salt, gx, gy)`` for the non-algebraic aggregates (collect_list /
+    exact quantiles) this pipeline may carry at 100 TB; it is OFF by
+    default because it costs one extra shuffle.
     """
     n = grid
     ntile = (grid + tile - 1) // tile
@@ -249,13 +253,19 @@ def rasterize_pages(
         ),
         F.lit(n - 1),
     )
-    cells = pages_geo.select(gx.alias("gx"), gy.alias("gy")).withColumn(
-        "salt", (F.rand(seed=0) * salt_buckets).cast("int")
-    )
-    partial = cells.groupBy("salt", "gx", "gy").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    counts = partial.groupBy("gx", "gy").agg(F.sum("c").alias("c"))
+    cells = pages_geo.select(gx.alias("gx"), gy.alias("gy"))
+    if salt_buckets > 0:
+        salted = cells.withColumn(
+            "salt", (F.rand(seed=0) * salt_buckets).cast("int")
+        )
+        partial = salted.groupBy("salt", "gx", "gy").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        counts = partial.groupBy("gx", "gy").agg(F.sum("c").alias("c"))
+    else:
+        counts = cells.groupBy("gx", "gy").agg(
+            F.count(F.lit(1)).alias("c")
+        )
 
     meta = RasterMeta(
         width=grid, height=grid, tile_w=tile, tile_h=tile, nodata=None,

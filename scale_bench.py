@@ -44,6 +44,7 @@ def run_job(cpus: int, out_npy: str, grid: int = GRID,
     t0 = time.perf_counter()
     dem = rasterize_pages(geocode(pg), grid=grid, tile=TILE).persist()
     dem.df.count()
+    pg.unpersist()  # free the page cache before the raster phases
     t_raster = time.perf_counter()
     filled = FillDepressions(dem).persist()
     filled.df.count()
