@@ -57,17 +57,25 @@ _R1_SCHEMA = StructType(
         StructField("edge_a", ArrayType(LongType()), False),
         StructField("edge_b", ArrayType(LongType()), False),
         StructField("edge_z", ArrayType(DoubleType()), False),
-    ]
-)
-
-_SEAM_SCHEMA = StructType(
-    [
-        StructField("kind", StringType(), False),  # V | H | C
-        StructField("sx", IntegerType(), False),
-        StructField("sy", IntegerType(), False),
-        StructField("role", IntegerType(), False),
-        StructField("lab", BinaryType(), False),
-        StructField("elv", BinaryType(), False),
+        # border strips (labels int64 / filled float64 blobs) emitted
+        # inline so the seam join never re-reads the full tile blobs
+        StructField("lab_n", BinaryType(), False),
+        StructField("lab_s", BinaryType(), False),
+        StructField("lab_w", BinaryType(), False),
+        StructField("lab_e", BinaryType(), False),
+        StructField("elv_n", BinaryType(), False),
+        StructField("elv_s", BinaryType(), False),
+        StructField("elv_w", BinaryType(), False),
+        StructField("elv_e", BinaryType(), False),
+        # corner scalars for the 4-tile diagonal seams (pure JVM joins)
+        StructField("lab_nw", LongType(), False),
+        StructField("lab_ne", LongType(), False),
+        StructField("lab_sw", LongType(), False),
+        StructField("lab_se", LongType(), False),
+        StructField("elv_nw", DoubleType(), False),
+        StructField("elv_ne", DoubleType(), False),
+        StructField("elv_sw", DoubleType(), False),
+        StructField("elv_se", DoubleType(), False),
     ]
 )
 
@@ -92,9 +100,7 @@ def _round1(meta: RasterMeta, topology: str):
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in (
-                "tile_x", "tile_y", "width", "height", "dtype", "nodata",
-                "data", "labels", "edge_a", "edge_b", "edge_z")}
+            out = {f.name: [] for f in _R1_SCHEMA.fields}
             for r in pdf.itertuples():
                 a = unpack(r.data, r.height, r.width, r.dtype).astype(
                     np.float64
@@ -120,113 +126,126 @@ def _round1(meta: RasterMeta, topology: str):
                 out["edge_a"].append(ea)
                 out["edge_b"].append(eb)
                 out["edge_z"].append(ez)
+                out["lab_n"].append(pack(labels[0, :]))
+                out["lab_s"].append(pack(labels[-1, :]))
+                out["lab_w"].append(pack(np.ascontiguousarray(
+                    labels[:, 0])))
+                out["lab_e"].append(pack(np.ascontiguousarray(
+                    labels[:, -1])))
+                out["elv_n"].append(pack(filled[0, :]))
+                out["elv_s"].append(pack(filled[-1, :]))
+                out["elv_w"].append(pack(np.ascontiguousarray(
+                    filled[:, 0])))
+                out["elv_e"].append(pack(np.ascontiguousarray(
+                    filled[:, -1])))
+                out["lab_nw"].append(int(labels[0, 0]))
+                out["lab_ne"].append(int(labels[0, -1]))
+                out["lab_sw"].append(int(labels[-1, 0]))
+                out["lab_se"].append(int(labels[-1, -1]))
+                out["elv_nw"].append(float(filled[0, 0]))
+                out["elv_ne"].append(float(filled[0, -1]))
+                out["elv_sw"].append(float(filled[-1, 0]))
+                out["elv_se"].append(float(filled[-1, -1]))
             yield pd.DataFrame(out)
 
     return run
 
 
-def _emit_seam_strips(meta: RasterMeta):
+def _seam_edges_df(r1, meta: RasterMeta, topology: str):
+    """Cross-tile label edges, computed with zero per-seam Python
+    overhead: V/H seams are a strip JOIN (one row per seam) fed to an
+    Arrow-batched mapInPandas; 4-tile corner seams reduce to scalar
+    columns and stay entirely in JVM expressions
+    (``HandleEdge``/``HandleCorner``, main.cpp:344-398)."""
     ntx, nty = meta.ntiles_x, meta.ntiles_y
+    tx = F.col("tile_x")
+    ty = F.col("tile_y")
+    diag = topology == TOPO_D8
+
+    # --- V and H seams: join the facing strips --------------------------
+    v_a = r1.where(tx + 1 < ntx).select(
+        tx.alias("sx"), ty.alias("sy"),
+        F.col("lab_e").alias("lab_a"), F.col("elv_e").alias("elv_a"),
+    )
+    v_b = r1.where(tx > 0).select(
+        (tx - 1).alias("sx"), ty.alias("sy"),
+        F.col("lab_w").alias("lab_b"), F.col("elv_w").alias("elv_b"),
+    )
+    h_a = r1.where(ty + 1 < nty).select(
+        tx.alias("sx"), ty.alias("sy"),
+        F.col("lab_s").alias("lab_a"), F.col("elv_s").alias("elv_a"),
+    )
+    h_b = r1.where(ty > 0).select(
+        tx.alias("sx"), (ty - 1).alias("sy"),
+        F.col("lab_n").alias("lab_b"), F.col("elv_n").alias("elv_b"),
+    )
+    pairs = v_a.join(v_b, ["sx", "sy"]).unionByName(
+        h_a.join(h_b, ["sx", "sy"])
+    ).select("lab_a", "elv_a", "lab_b", "elv_b")
+
+    offs = (-1, 0, 1) if diag else (0,)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in ("kind", "sx", "sy", "role", "lab", "elv")}
-
-            def emit(kind, sx, sy, role, lab, elv):
-                out["kind"].append(kind)
-                out["sx"].append(sx)
-                out["sy"].append(sy)
-                out["role"].append(role)
-                out["lab"].append(pack(np.ascontiguousarray(lab,
-                                                            dtype=np.int64)))
-                out["elv"].append(pack(np.ascontiguousarray(elv,
-                                                            np.float64)))
-
+            best: dict[tuple[int, int], float] = {}
             for r in pdf.itertuples():
-                lab = unpack(r.labels, r.height, r.width, "int64")
-                elv = unpack(r.data, r.height, r.width, "float64")
-                tx, ty = r.tile_x, r.tile_y
-                if tx + 1 < ntx:
-                    emit("V", tx, ty, 0, lab[:, -1], elv[:, -1])
-                if tx > 0:
-                    emit("V", tx - 1, ty, 1, lab[:, 0], elv[:, 0])
-                if ty + 1 < nty:
-                    emit("H", tx, ty, 0, lab[-1, :], elv[-1, :])
-                if ty > 0:
-                    emit("H", tx, ty - 1, 1, lab[0, :], elv[0, :])
-                # corner seam C(sx,sy) spans tiles (sx,sy)..(sx+1,sy+1);
-                # roles 0=BR of TL tile, 1=BL of TR, 2=TR of BL, 3=TL of BR
-                if tx + 1 < ntx and ty + 1 < nty:
-                    emit("C", tx, ty, 0, lab[-1:, -1], elv[-1:, -1])
-                if tx > 0 and ty + 1 < nty:
-                    emit("C", tx - 1, ty, 1, lab[-1:, 0], elv[-1:, 0])
-                if tx + 1 < ntx and ty > 0:
-                    emit("C", tx, ty - 1, 2, lab[:1, -1], elv[:1, -1])
-                if tx > 0 and ty > 0:
-                    emit("C", tx - 1, ty - 1, 3, lab[:1, 0], elv[:1, 0])
-            yield pd.DataFrame(out)
-
-    return run
-
-
-def _seam_edges(topology: str):
-    diag = topology == TOPO_D8
-
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        kind = key[0]
-        parts = {
-            int(role): (
-                np.frombuffer(lab, dtype=np.int64),
-                np.frombuffer(elv, dtype=np.float64),
+                la = np.frombuffer(r.lab_a, dtype=np.int64)
+                lb = np.frombuffer(r.lab_b, dtype=np.int64)
+                ea = np.frombuffer(r.elv_a, dtype=np.float64)
+                eb = np.frombuffer(r.elv_b, dtype=np.float64)
+                n = len(la)
+                for off in offs:
+                    lo, hi = max(0, -off), min(n, n - off)
+                    l1 = la[lo:hi]
+                    l2 = lb[lo + off : hi + off]
+                    z = np.maximum(ea[lo:hi], eb[lo + off : hi + off])
+                    neq = l1 != l2
+                    for aa, bb, zz in zip(l1[neq], l2[neq], z[neq]):
+                        k = (int(aa), int(bb)) if aa < bb else (
+                            int(bb), int(aa))
+                        if k not in best or zz < best[k]:
+                            best[k] = float(zz)
+            yield pd.DataFrame(
+                {
+                    "a": [k[0] for k in best],
+                    "b": [k[1] for k in best],
+                    "z": list(best.values()),
+                }
+            ) if best else pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64"),
+                 "z": pd.Series([], dtype="float64")}
             )
-            for role, lab, elv in zip(pdf["role"], pdf["lab"], pdf["elv"])
-        }
-        best: dict[tuple[int, int], float] = {}
 
-        def add(la, lb, z):
-            if la == lb:
-                return
-            k = (la, lb) if la < lb else (lb, la)
-            if k not in best or z < best[k]:
-                best[k] = z
+    strip_edges = pairs.mapInPandas(run, _EDGE_SCHEMA)
 
-        if kind == "C":
-            # diagonal pairs across the 4-tile corner
-            if diag:
-                for p, q in ((0, 3), (1, 2)):
-                    if p in parts and q in parts:
-                        la, ea = parts[p]
-                        lb, eb = parts[q]
-                        add(int(la[0]), int(lb[0]),
-                            float(max(ea[0], eb[0])))
-        elif 0 in parts and 1 in parts:
-            la, ea = parts[0]
-            lb, eb = parts[1]
-            n = len(la)
-            offs = (-1, 0, 1) if diag else (0,)
-            for off in offs:
-                lo, hi = max(0, -off), min(n, n - off)
-                s1 = slice(lo, hi)
-                s2 = slice(lo + off, hi + off)
-                l1, l2 = la[s1], lb[s2]
-                z = np.maximum(ea[s1], eb[s2])
-                neq = l1 != l2
-                for aa, bb, zz in zip(l1[neq], l2[neq], z[neq]):
-                    add(int(aa), int(bb), float(zz))
-        if not best:
-            return pd.DataFrame({"a": [], "b": [], "z": []}).astype(
-                {"a": "int64", "b": "int64", "z": "float64"}
-            )
-        ks = list(best.keys())
-        return pd.DataFrame(
-            {
-                "a": [k[0] for k in ks],
-                "b": [k[1] for k in ks],
-                "z": [best[k] for k in ks],
-            }
+    if not diag:
+        return strip_edges
+
+    # --- 4-tile corner seams: diagonal pairs, scalar JVM arithmetic -----
+    # BR corner of (sx,sy) vs TL corner of (sx+1,sy+1); BL of (sx+1,sy)
+    # vs TR of (sx,sy+1)
+    tl = r1.select(tx.alias("sx"), ty.alias("sy"),
+                   F.col("lab_se").alias("l1"), F.col("elv_se").alias("e1"))
+    br = r1.select((tx - 1).alias("sx"), (ty - 1).alias("sy"),
+                   F.col("lab_nw").alias("l2"), F.col("elv_nw").alias("e2"))
+    tr_ = r1.select((tx - 1).alias("sx"), ty.alias("sy"),
+                    F.col("lab_sw").alias("l1"),
+                    F.col("elv_sw").alias("e1"))
+    bl = r1.select(tx.alias("sx"), (ty - 1).alias("sy"),
+                   F.col("lab_ne").alias("l2"), F.col("elv_ne").alias("e2"))
+    corners = tl.join(br, ["sx", "sy"]).unionByName(
+        tr_.join(bl, ["sx", "sy"])
+    )
+    corner_edges = (
+        corners.where(F.col("l1") != F.col("l2"))
+        .select(
+            F.least("l1", "l2").alias("a"),
+            F.greatest("l1", "l2").alias("b"),
+            F.greatest("e1", "e2").alias("z"),
         )
-
-    return run
+    )
+    return strip_edges.unionByName(corner_edges)
 
 
 def fill_depressions(
@@ -253,10 +272,7 @@ def fill_depressions(
         F.col("e.edge_b").alias("b"),
         F.col("e.edge_z").alias("z"),
     )
-    seams = r1.mapInPandas(_emit_seam_strips(meta), _SEAM_SCHEMA)
-    seam_edges = seams.groupBy("kind", "sx", "sy").applyInPandas(
-        _seam_edges(topology), _EDGE_SCHEMA
-    )
+    seam_edges = _seam_edges_df(r1, meta, topology)
     # JVM-side partial aggregation keeps the collected graph minimal
     all_edges = (
         in_tile_edges.unionByName(seam_edges)
