@@ -166,10 +166,13 @@ def _mfd_accumulation_single_tile(tr: TiledRaster, method: str, **params):
     )
 
 
-def FlowAccumulationFromDirs(dirs: TiledRaster) -> TiledRaster:
+def FlowAccumulationFromDirs(
+    dirs: TiledRaster, weights: TiledRaster | None = None
+) -> TiledRaster:
     """accumulation directly from a D8 flowdir raster
-    (methods/d8_methods.hpp:47-139)."""
-    return flow_accumulation_d8(dirs)
+    (methods/d8_methods.hpp:47-139); optional per-cell weights raster
+    (pyRichDEM weights argument, __init__.py:554-566)."""
+    return flow_accumulation_d8(dirs, weights=weights)
 
 
 # ---------------------------------------------------------------------------

@@ -285,13 +285,24 @@ def _solve_perimeter_graph(perim_rows, meta: RasterMeta):
     return entry_offsets
 
 
-def flow_accumulation_d8(dirs: TiledRaster) -> TiledRaster:
+def flow_accumulation_d8(
+    dirs: TiledRaster, weights: TiledRaster | None = None
+) -> TiledRaster:
     """Flow accumulation from a D8 flow-direction raster (tiled,
-    two rounds, O(perimeter) communication)."""
+    two rounds, O(perimeter) communication).  ``weights`` optionally
+    gives each cell's contribution (the reference's weights argument,
+    pyRichDEM __init__.py:554-566); default 1 per data cell."""
     meta = dirs.meta
     spark = dirs.df.sparkSession
 
-    r1 = dirs.df.mapInPandas(_round1("none"), _R1_SCHEMA).persist()
+    if weights is not None:
+        wdf = weights.df.select(
+            "tile_x", "tile_y", weights.df["data"].alias("wdata")
+        )
+        src = dirs.df.join(wdf, ["tile_x", "tile_y"])
+        r1 = src.mapInPandas(_round1("column"), _R1_SCHEMA).persist()
+    else:
+        r1 = dirs.df.mapInPandas(_round1("none"), _R1_SCHEMA).persist()
 
     perim = r1.select(
         "tile_x", "tile_y", "width", "height",

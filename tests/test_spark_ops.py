@@ -162,3 +162,19 @@ def test_dinf_directions_distributed(spark):
     tr = raster_from_array(spark, dem, tile_w=7, tile_h=10)
     got = FlowDirectionsDinf(tr).to_array()
     assert np.allclose(got, golden)
+
+
+def test_weighted_accumulation(spark):
+    """weights raster == reference's weights argument; distributed
+    two-round result must equal the kernel oracle at any tiling."""
+    from richdem_spark.api import FlowAccumulationFromDirs
+
+    dem = priority_flood_fill(_random_dem(41, 22, 27))
+    dirs = d8_flow_directions(dem)
+    rng = np.random.default_rng(8)
+    w = rng.uniform(0.5, 2.0, dem.shape).round(3)
+    golden = d8_flow_accum(dirs, weights=w)
+    dirs_tr = raster_from_array(spark, dirs, tile_w=9, tile_h=8)
+    w_tr = raster_from_array(spark, w, tile_w=9, tile_h=8)
+    got = FlowAccumulationFromDirs(dirs_tr, weights=w_tr).to_array()
+    assert np.allclose(got, golden, atol=1e-9)
