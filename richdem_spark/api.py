@@ -440,14 +440,24 @@ def ResolveFlats(
 ) -> TiledRaster:
     """Barnes 2014a flat resolution (flats/flat_resolution.hpp:447-517).
 
-    Returns flat-resolved D8 flow directions (or, with ``alter_dem``, the
-    nextafter-altered elevations).  Flats spanning tile seams need
-    iterative frontier exchange (SURVEY.md §2.8); v1 gathers to a single
-    partition below ``max_cells``."""
+    ``alter_dem=False`` (default) returns flat-resolved D8 flow
+    directions, fully distributed: global flat labelling via seam
+    union-find + cross-tile BFS distance relaxation (ops/flats.py).
+    ``alter_dem=True`` returns nextafter-altered elevations and gathers
+    below ``max_cells`` (cross-seam nextafter chains pending)."""
     m = tr.meta
+    if not alter_dem:
+        from .ops.flats import (
+            flow_dirs_through_flats,
+            resolve_flats_distributed,
+        )
+
+        dirs = FlowDirectionsD8(tr)
+        mask, labels = resolve_flats_distributed(tr, dirs)
+        return flow_dirs_through_flats(dirs, mask, labels)
     if m.width * m.height > max_cells:
         raise NotImplementedError(
-            "tiled flat resolution pending; raster exceeds the "
+            "tiled alter_dem flat resolution pending; raster exceeds the "
             f"single-partition gate ({max_cells} cells)"
         )
     from .kernels.flats import resolve_flats_pipeline
@@ -455,14 +465,11 @@ def ResolveFlats(
 
     arr = tr.to_array()
     dirs, elev = resolve_flats_pipeline(arr, m.nodata, alter=alter_dem)
-    out = elev if alter_dem else dirs
     res = raster_from_array(
-        tr.df.sparkSession, out, m.tile_w, m.tile_h,
-        m.nodata if alter_dem else float(FLOWDIR_NO_DATA), m.geotransform,
+        tr.df.sparkSession, elev, m.tile_w, m.tile_h,
+        m.nodata, m.geotransform,
     )
-    res.meta = res.meta.with_history(
-        f"resolve_flats(alter_dem={alter_dem})"
-    )
+    res.meta = res.meta.with_history("resolve_flats(alter_dem=True)")
     return res
 
 

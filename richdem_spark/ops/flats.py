@@ -1,0 +1,609 @@
+"""Distributed flat resolution (Barnes 2014a) — cross-tile.
+
+The single-grid algorithm (kernels/flats.py) re-expressed as tile rounds:
+
+1. **Label flats globally**: per-tile connected components of
+   equal-elevation candidate cells (vectorized CCL on the halo-padded
+   tile), seam union-find on the driver merges components across tiles;
+   a flat is *drainable* iff its global component contains a low-edge
+   cell anywhere on the DEM.
+2. **Away/towards gradients**: the reference's level-synchronous BFS
+   becomes distributed distance relaxation — each round runs the full
+   local BFS per tile, exchanges 1-cell halos of distances, and repeats
+   until no distance improves anywhere (Bellman-Ford over the tile
+   graph; rounds = flat diameter in tiles).
+3. **Combine + route**: ``flat_height`` per global flat aggregates the
+   max away-distance; the superposed mask and in-flat flow directions
+   are per-tile passes with halo (d8_masked_FlowDir semantics).
+
+Output equals kernels/flats.resolve_flats_pipeline cell-for-cell (the
+differential oracle in tests/test_flats.py).
+"""
+
+from __future__ import annotations
+
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..constants import D8X, D8Y, FLOWDIR_NO_DATA, NO_FLOW
+from ..kernels.ccl import label_components
+from ..tiles import (
+    TILE_SCHEMA,
+    RasterMeta,
+    TiledRaster,
+    assemble_padded,
+    halo_join,
+    pack,
+    unpack,
+)
+
+_IMAX = np.iinfo(np.int64).max
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("dirs", BinaryType(), False),     # uint8
+        StructField("labels", BinaryType(), False),   # int64
+        StructField("low", BinaryType(), False),      # uint8
+        StructField("high", BinaryType(), False),     # uint8
+        StructField("lab_n", BinaryType(), False),
+        StructField("lab_s", BinaryType(), False),
+        StructField("lab_w", BinaryType(), False),
+        StructField("lab_e", BinaryType(), False),
+        StructField("elv_n", BinaryType(), False),
+        StructField("elv_s", BinaryType(), False),
+        StructField("elv_w", BinaryType(), False),
+        StructField("elv_e", BinaryType(), False),
+        StructField("lid", ArrayType(LongType()), False),
+        StructField("lid_low", ArrayType(IntegerType()), False),
+    ]
+)
+
+_DIST_SCHEMA = StructType(
+    [
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("dist", BinaryType(), False),
+        StructField("changed", IntegerType(), False),
+    ]
+)
+
+
+def _shifts(h, w):
+    out = []
+    for n in range(1, 9):
+        dx, dy = int(D8X[n]), int(D8Y[n])
+        dst = (slice(max(0, -dy), h - max(0, dy)),
+               slice(max(0, -dx), w - max(0, dx)))
+        src = (slice(max(0, dy), h + min(0, dy)),
+               slice(max(0, dx), w + min(0, dx)))
+        out.append((dst, src))
+    return out
+
+
+def _local_bfs(dist: np.ndarray, allowed: np.ndarray,
+               labels: np.ndarray) -> np.ndarray:
+    """Multi-source BFS distance relaxation within a tile, expanding
+    through same-label `allowed` cells.  Vectorized level sweeps."""
+    h, w = dist.shape
+    shifts = _shifts(h, w)
+    cur = dist
+    while True:
+        best = cur.copy()
+        for dst, src in shifts:
+            cand = np.where(
+                allowed[dst] & (labels[dst] == labels[src])
+                & (cur[src] < _IMAX),
+                cur[src] + 1, _IMAX,
+            )
+            np.minimum(best[dst], cand, out=best[dst])
+        if np.array_equal(best, cur):
+            return cur
+        cur = best
+
+
+def _labels_raster(st, meta: RasterMeta) -> TiledRaster:
+    return TiledRaster(
+        st.select(
+            "tile_x", "tile_y", "width", "height",
+            F.lit("int64").alias("dtype"),
+            F.lit(None).cast("double").alias("nodata"),
+            F.col("labels").alias("data"),
+        ),
+        meta,
+    )
+
+
+def resolve_flats_distributed(
+    elev: TiledRaster, dirs: TiledRaster, max_rounds: int = 10_000
+):
+    """Distributed resolve_flats_barnes; returns
+    (flat_mask: TiledRaster[int64], labels: TiledRaster[int64])."""
+    meta = elev.meta
+    spark = elev.df.sparkSession
+    ntx = meta.ntiles_x
+    # compacted per-level component ids are bounded by the padded cell
+    # count plus one gap per level
+    stride = 2 * (meta.tile_w + 2) * (meta.tile_h + 2) + 16
+
+    # ---- phase 1 --------------------------------------------------------
+    d_halo = halo_join(dirs).select(
+        "tile_x", "tile_y",
+        F.col("data").alias("ddata"), F.col("dtype").alias("ddtype"),
+        F.col("halo").alias("dhalo"),
+    )
+    e_halo = halo_join(elev).join(d_halo, ["tile_x", "tile_y"])
+
+    def phase1(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in _STATE_SCHEMA.fields}
+            for r in pdf.itertuples():
+                e_core = unpack(r.data, r.height, r.width, r.dtype)
+                d_core = unpack(r.ddata, r.height, r.width, r.ddtype)
+                strips_e = ([(s["slot"], s["strip"]) for s in r.halo]
+                            if r.halo is not None else [])
+                strips_d = ([(s["slot"], s["strip"]) for s in r.dhalo]
+                            if r.dhalo is not None else [])
+                pe, pt, pl = assemble_padded(e_core, strips_e, r.dtype,
+                                             np.nan)
+                pdirs, _, _ = assemble_padded(
+                    d_core, strips_d, r.ddtype, float(FLOWDIR_NO_DATA))
+                ph, pw = pe.shape
+                core = (slice(pt, pt + r.height), slice(pl, pl + r.width))
+
+                valid = pdirs != FLOWDIR_NO_DATA
+                low = np.zeros((ph, pw), bool)
+                high = np.zeros((ph, pw), bool)
+                same_any = np.zeros((ph, pw), bool)
+                for dst, src in _shifts(ph, pw):
+                    nb_ok = valid[src]
+                    low[dst] |= (
+                        (pdirs[dst] != NO_FLOW) & valid[dst] & nb_ok
+                        & (pdirs[src] == NO_FLOW) & (pe[src] == pe[dst])
+                    )
+                    high[dst] |= (
+                        (pdirs[dst] == NO_FLOW) & valid[dst] & nb_ok
+                        & (pe[dst] < pe[src])
+                    )
+                    same_any[dst] |= (pe[src] == pe[dst]) & nb_ok \
+                        & valid[dst]
+                cand = (same_any | (pdirs == NO_FLOW)) & valid
+                # flats are EQUAL-elevation components (label_this floods
+                # by elevation equality, flat_resolution.hpp:331-355):
+                # label per distinct candidate elevation; component ids
+                # are compacted so offsets stay within the tile's label
+                # stride (no cross-tile id collisions)
+                comp = np.zeros(cand.shape, dtype=np.int64)
+                off = 0
+                for z in np.unique(pe[cand]).tolist():
+                    cz = cand & (pe == z)
+                    lz = label_components(cz)
+                    _, compact = np.unique(lz[cz], return_inverse=True)
+                    comp[cz] = compact + 1 + off
+                    off += int(compact.max()) + 2 if compact.size else 0
+                base = 2 + (r.tile_y * ntx + r.tile_x) * stride
+                labels = np.where(comp[core] > 0, comp[core] + base,
+                                  0).astype(np.int64)
+                lowc = low[core]
+                highc = high[core]
+                lids = np.unique(labels[labels > 0])
+                has_low = (
+                    np.array([bool(lowc[labels == l].any())
+                              for l in lids], dtype=np.int64)
+                    if lids.size else np.array([], dtype=np.int64)
+                )
+                ecore = pe[core]
+                out["tile_x"].append(r.tile_x)
+                out["tile_y"].append(r.tile_y)
+                out["width"].append(r.width)
+                out["height"].append(r.height)
+                out["dirs"].append(pack(d_core.astype(np.uint8)))
+                out["labels"].append(pack(labels))
+                out["low"].append(pack(lowc.astype(np.uint8)))
+                out["high"].append(pack(highc.astype(np.uint8)))
+                out["lab_n"].append(pack(labels[0, :]))
+                out["lab_s"].append(pack(labels[-1, :]))
+                out["lab_w"].append(pack(np.ascontiguousarray(
+                    labels[:, 0])))
+                out["lab_e"].append(pack(np.ascontiguousarray(
+                    labels[:, -1])))
+                out["elv_n"].append(pack(ecore[0, :].astype(np.float64)))
+                out["elv_s"].append(pack(ecore[-1, :].astype(np.float64)))
+                out["elv_w"].append(pack(np.ascontiguousarray(
+                    ecore[:, 0]).astype(np.float64)))
+                out["elv_e"].append(pack(np.ascontiguousarray(
+                    ecore[:, -1]).astype(np.float64)))
+                out["lid"].append([int(x) for x in lids])
+                out["lid_low"].append([int(x) for x in has_low])
+            yield pd.DataFrame(out)
+
+    st = e_halo.mapInPandas(phase1, _STATE_SCHEMA).persist()
+
+
+    # ---- seam union-find -------------------------------------------------
+    rows = st.select(
+        "tile_x", "tile_y", "lab_n", "lab_s", "lab_w", "lab_e",
+        "elv_n", "elv_s", "elv_w", "elv_e", "lid", "lid_low",
+    ).collect()
+
+    by_key = {(r.tile_x, r.tile_y): r for r in rows}
+
+    def seam_pairs(sa, sb, ea_, eb_):
+        la = np.frombuffer(sa, dtype=np.int64)
+        lb = np.frombuffer(sb, dtype=np.int64)
+        ea = np.frombuffer(ea_, dtype=np.float64)
+        eb = np.frombuffer(eb_, dtype=np.float64)
+        n = len(la)
+        prs = set()
+        for off in (-1, 0, 1):
+            lo, hi = max(0, -off), min(n, n - off)
+            l1, l2 = la[lo:hi], lb[lo + off : hi + off]
+            m = (l1 > 0) & (l2 > 0) & (
+                ea[lo:hi] == eb[lo + off : hi + off])
+            for a, b in zip(l1[m], l2[m]):
+                prs.add((int(a), int(b)))
+        return prs
+
+    pairs = set()
+    for (tx, ty), r in by_key.items():
+        if (tx + 1, ty) in by_key:
+            r2 = by_key[(tx + 1, ty)]
+            pairs |= seam_pairs(r.lab_e, r2.lab_w, r.elv_e, r2.elv_w)
+        if (tx, ty + 1) in by_key:
+            r2 = by_key[(tx, ty + 1)]
+            pairs |= seam_pairs(r.lab_s, r2.lab_n, r.elv_s, r2.elv_n)
+        for ddx in (-1, 1):  # 4-tile diagonal corners
+            if (tx + ddx, ty + 1) in by_key:
+                r2 = by_key[(tx + ddx, ty + 1)]
+                ia = -1 if ddx == 1 else 0
+                ib = 0 if ddx == 1 else -1
+                a = np.frombuffer(r.lab_s, np.int64)[ia]
+                b = np.frombuffer(r2.lab_n, np.int64)[ib]
+                ea = np.frombuffer(r.elv_s, np.float64)[ia]
+                eb = np.frombuffer(r2.elv_n, np.float64)[ib]
+                if a > 0 and b > 0 and ea == eb:
+                    pairs.add((int(a), int(b)))
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    has_low_g: dict[int, bool] = {}
+    all_lids = []
+    for r in rows:
+        for l, hl in zip(r.lid, r.lid_low):
+            g = find(int(l))
+            has_low_g[g] = has_low_g.get(g, False) or bool(hl)
+            all_lids.append(int(l))
+    alias = {
+        l: (find(l) if has_low_g.get(find(l), False) else 0)
+        for l in all_lids
+    }
+    alias_b = spark.sparkContext.broadcast(alias)
+
+    def relabel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        amap = alias_b.value
+        for pdf in it:
+            out = {f.name: [] for f in _STATE_SCHEMA.fields}
+            for r in pdf.itertuples():
+                labels = unpack(r.labels, r.height, r.width,
+                                "int64").copy()
+                for l in np.unique(labels[labels > 0]).tolist():
+                    labels[labels == l] = amap.get(int(l), 0)
+                for f in _STATE_SCHEMA.fields:
+                    if f.name == "labels":
+                        out[f.name].append(pack(labels))
+                    elif f.name == "lab_n":
+                        out[f.name].append(pack(labels[0, :]))
+                    elif f.name == "lab_s":
+                        out[f.name].append(pack(labels[-1, :]))
+                    elif f.name == "lab_w":
+                        out[f.name].append(pack(np.ascontiguousarray(
+                            labels[:, 0])))
+                    elif f.name == "lab_e":
+                        out[f.name].append(pack(np.ascontiguousarray(
+                            labels[:, -1])))
+                    else:
+                        out[f.name].append(getattr(r, f.name))
+            yield pd.DataFrame(out)
+
+    st2 = st.mapInPandas(relabel, _STATE_SCHEMA).persist()
+    st2.count()
+    st.unpersist()
+
+
+    lab_halo = halo_join(_labels_raster(st2, meta)).select(
+        "tile_x", "tile_y", F.col("halo").alias("lab_halo"),
+    ).persist()
+
+    # ---- phase 2: distributed BFS distances ------------------------------
+    def bfs_distance(seed_col: str):
+        def init(it):
+            for pdf in it:
+                out = {f.name: [] for f in _DIST_SCHEMA.fields}
+                for r in pdf.itertuples():
+                    labels = unpack(r.labels, r.height, r.width, "int64")
+                    dirs_a = unpack(r.dirs, r.height, r.width, "uint8")
+                    seed = unpack(getattr(r, seed_col), r.height,
+                                  r.width, "uint8").astype(bool)
+                    if seed_col == "high":
+                        seed = seed & (labels > 0)
+                    allowed = (dirs_a == NO_FLOW) & (labels > 0)
+                    dist = np.full((r.height, r.width), _IMAX,
+                                   dtype=np.int64)
+                    dist[seed] = 1
+                    dist = _local_bfs(dist, allowed, labels)
+                    out["tile_x"].append(r.tile_x)
+                    out["tile_y"].append(r.tile_y)
+                    out["width"].append(r.width)
+                    out["height"].append(r.height)
+                    out["dist"].append(pack(dist))
+                    out["changed"].append(1)
+                yield pd.DataFrame(out)
+
+        dist_df = st2.mapInPandas(init, _DIST_SCHEMA) \
+            .localCheckpoint(eager=True)
+
+        for _ in range(max_rounds):
+            dr = TiledRaster(
+                dist_df.select(
+                    "tile_x", "tile_y", "width", "height",
+                    F.lit("int64").alias("dtype"),
+                    F.lit(None).cast("double").alias("nodata"),
+                    F.col("dist").alias("data"),
+                ),
+                meta,
+            )
+            dist_halo = halo_join(dr).select(
+                "tile_x", "tile_y", F.col("data").alias("dist"),
+                F.col("halo").alias("dist_halo"),
+            )
+            joined = st2.select(
+                "tile_x", "tile_y", "width", "height", "dirs", "labels"
+            ).join(dist_halo, ["tile_x", "tile_y"]).join(
+                lab_halo, ["tile_x", "tile_y"], "left")
+
+            def relax(it):
+                for pdf in it:
+                    out = {f.name: [] for f in _DIST_SCHEMA.fields}
+                    for r in pdf.itertuples():
+                        labels = unpack(r.labels, r.height, r.width,
+                                        "int64")
+                        dirs_a = unpack(r.dirs, r.height, r.width,
+                                        "uint8")
+                        dist = unpack(r.dist, r.height, r.width,
+                                      "int64").copy()
+                        sd = ([(s["slot"], s["strip"])
+                               for s in r.dist_halo]
+                              if r.dist_halo is not None else [])
+                        sl = ([(s["slot"], s["strip"])
+                               for s in r.lab_halo]
+                              if r.lab_halo is not None else [])
+                        pdist, pt, pl = assemble_padded(
+                            dist, sd, "int64", float(_IMAX))
+                        plab, _, _ = assemble_padded(
+                            labels, sl, "int64", -1.0)
+                        allowed = (dirs_a == NO_FLOW) & (labels > 0)
+                        ph, pw = pdist.shape
+                        core = (slice(pt, pt + r.height),
+                                slice(pl, pl + r.width))
+                        new = dist.copy()
+                        for dst, src in _shifts(ph, pw):
+                            cand = np.full((ph, pw), _IMAX,
+                                           dtype=np.int64)
+                            cand[dst] = np.where(
+                                (plab[src] == plab[dst])
+                                & (pdist[src] < _IMAX),
+                                pdist[src] + 1, _IMAX,
+                            )
+                            c = cand[core]
+                            m = allowed & (c < new)
+                            new[m] = c[m]
+                        if (new < dist).any():
+                            new = _local_bfs(new, allowed, labels)
+                            changed = 1
+                        else:
+                            changed = 0
+                        out["tile_x"].append(r.tile_x)
+                        out["tile_y"].append(r.tile_y)
+                        out["width"].append(r.width)
+                        out["height"].append(r.height)
+                        out["dist"].append(pack(new))
+                        out["changed"].append(changed)
+                    yield pd.DataFrame(out)
+
+            # localCheckpoint truncates the per-round lineage so the
+            # plan does not grow with the number of rounds
+            new_df = joined.mapInPandas(relax, _DIST_SCHEMA) \
+                .localCheckpoint(eager=True)
+            n_changed = new_df.agg(F.sum("changed")).collect()[0][0]
+
+            dist_df.unpersist()
+            dist_df = new_df
+            if not n_changed:
+                break
+        return dist_df
+
+    away = bfs_distance("high")
+    towards = bfs_distance("low")
+
+    # ---- flat_height per global flat (max away level) --------------------
+    def flat_heights(it):
+        for pdf in it:
+            la, lv = [], []
+            for r in pdf.itertuples():
+                labels = unpack(r.labels, r.height, r.width, "int64")
+                ad = unpack(r.dist, r.height, r.width, "int64")
+                m = (labels > 0) & (ad < _IMAX)
+                if m.any():
+                    for l in np.unique(labels[m]).tolist():
+                        la.append(int(l))
+                        lv.append(int(ad[m & (labels == l)].max()))
+            yield pd.DataFrame({"flat": la, "h": lv})
+
+    fh_schema = StructType([
+        StructField("flat", LongType(), False),
+        StructField("h", LongType(), False),
+    ])
+    fh_rows = (
+        st2.select("tile_x", "tile_y", "width", "height", "labels")
+        .join(away.select("tile_x", "tile_y", "dist"),
+              ["tile_x", "tile_y"])
+        .mapInPandas(flat_heights, fh_schema)
+        .groupBy("flat").agg(F.max("h").alias("h"))
+        .collect()
+    )
+    fh = {int(r.flat): int(r.h) for r in fh_rows}
+    fh_b = spark.sparkContext.broadcast(fh)
+
+    # ---- combine into the superposed mask --------------------------------
+    mask_join = (
+        st2.select("tile_x", "tile_y", "width", "height", "labels")
+        .join(away.select("tile_x", "tile_y",
+                          F.col("dist").alias("away")),
+              ["tile_x", "tile_y"])
+        .join(towards.select("tile_x", "tile_y",
+                             F.col("dist").alias("towards")),
+              ["tile_x", "tile_y"])
+    )
+
+    def combine(it):
+        fhm = fh_b.value
+        for pdf in it:
+            out = {k: [] for k in ("tile_x", "tile_y", "width", "height",
+                                   "dtype", "nodata", "data")}
+            for r in pdf.itertuples():
+                labels = unpack(r.labels, r.height, r.width, "int64")
+                aw = unpack(r.away, r.height, r.width, "int64")
+                tw = unpack(r.towards, r.height, r.width, "int64")
+                awv = np.where(aw < _IMAX, aw, 0)
+                twv = np.where(tw < _IMAX, tw, 0)
+                fhv = np.zeros_like(labels)
+                for l in np.unique(labels[labels > 0]).tolist():
+                    fhv[labels == l] = fhm.get(int(l), 0)
+                # same formula as kernels/flats.resolve_flats
+                mask = np.where(
+                    twv > 0,
+                    np.where(awv > 0, fhv - awv + 2 * twv, 2 * twv),
+                    awv,
+                )
+                out["tile_x"].append(r.tile_x)
+                out["tile_y"].append(r.tile_y)
+                out["width"].append(r.width)
+                out["height"].append(r.height)
+                out["dtype"].append("int64")
+                out["nodata"].append(-1.0)
+                out["data"].append(pack(mask.astype(np.int64)))
+            yield pd.DataFrame(out)
+
+    mask_df = mask_join.mapInPandas(combine, TILE_SCHEMA)
+    mask_tr = TiledRaster(
+        mask_df,
+        RasterMeta(
+            width=meta.width, height=meta.height, tile_w=meta.tile_w,
+            tile_h=meta.tile_h, nodata=-1.0, dtype="int64",
+            geotransform=meta.geotransform,
+        ).with_history("resolve_flats_distributed(mask)"),
+    )
+    lab_tr = TiledRaster(
+        st2.select(
+            "tile_x", "tile_y", "width", "height",
+            F.lit("int64").alias("dtype"),
+            F.lit(None).cast("double").alias("nodata"),
+            F.col("labels").alias("data"),
+        ),
+        RasterMeta(
+            width=meta.width, height=meta.height, tile_w=meta.tile_w,
+            tile_h=meta.tile_h, nodata=None, dtype="int64",
+            geotransform=meta.geotransform,
+        ).with_history("resolve_flats_distributed(labels)"),
+    )
+    return mask_tr, lab_tr
+
+
+def flow_dirs_through_flats(
+    dirs: TiledRaster, mask: TiledRaster, labels: TiledRaster
+) -> TiledRaster:
+    """d8_flow_flats distributed: per-tile pass with halos of
+    (mask, labels), assigning directions to NO_FLOW cells inside
+    resolved flats (flat_resolution.hpp:96-116)."""
+    meta = dirs.meta
+
+    m_halo = halo_join(mask).select(
+        "tile_x", "tile_y", F.col("data").alias("mdata"),
+        F.col("halo").alias("mhalo"),
+    )
+    l_halo = halo_join(labels).select(
+        "tile_x", "tile_y", F.col("data").alias("ldata"),
+        F.col("halo").alias("lhalo"),
+    )
+    joined = dirs.df.join(m_halo, ["tile_x", "tile_y"]).join(
+        l_halo, ["tile_x", "tile_y"])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.flats import d8_flow_flats
+
+        for pdf in it:
+            out = {k: [] for k in ("tile_x", "tile_y", "width", "height",
+                                   "dtype", "nodata", "data")}
+            for r in pdf.itertuples():
+                d = unpack(r.data, r.height, r.width, r.dtype)
+                mk = unpack(r.mdata, r.height, r.width, "int64")
+                lb = unpack(r.ldata, r.height, r.width, "int64")
+                sm = ([(s["slot"], s["strip"]) for s in r.mhalo]
+                      if r.mhalo is not None else [])
+                slb = ([(s["slot"], s["strip"]) for s in r.lhalo]
+                       if r.lhalo is not None else [])
+                pm, pt, pl = assemble_padded(mk, sm, "int64", -1.0)
+                plb, _, _ = assemble_padded(lb, slb, "int64", -2.0)
+                pd_dirs = np.full(pm.shape, 0, dtype=np.uint8)
+                pd_dirs[pt : pt + r.height, pl : pl + r.width] = d
+                # run the masked flowdir on the padded arrays; slice core
+                res = d8_flow_flats(pm, plb, pd_dirs)
+                core = res[pt : pt + r.height, pl : pl + r.width]
+                # only NO_FLOW core cells change; keep original elsewhere
+                final = np.where((d == NO_FLOW), core, d).astype(np.uint8)
+                out["tile_x"].append(r.tile_x)
+                out["tile_y"].append(r.tile_y)
+                out["width"].append(r.width)
+                out["height"].append(r.height)
+                out["dtype"].append("uint8")
+                out["nodata"].append(float(FLOWDIR_NO_DATA))
+                out["data"].append(pack(final))
+            yield pd.DataFrame(out)
+
+    out_df = joined.mapInPandas(run, TILE_SCHEMA)
+    return TiledRaster(
+        out_df, dirs.meta.with_history("d8_flow_flats_distributed")
+    )

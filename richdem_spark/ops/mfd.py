@@ -220,8 +220,10 @@ def flow_accumulation_mfd(
                     out["oval"].append(ov.tolist())
                 yield pd.DataFrame(out)
 
-        new_state = joined.mapInPandas(step, _STATE_SCHEMA).persist()
-        new_state.count()  # materialize before dropping the parent
+        # localCheckpoint truncates lineage so the plan stays flat
+        # across rounds
+        new_state = joined.mapInPandas(step, _STATE_SCHEMA) \
+            .localCheckpoint(eager=True)
         state.unpersist()
         state = new_state
 

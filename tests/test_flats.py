@@ -64,14 +64,38 @@ def test_gradient_superposition_properties():
     assert (np.diff(row.astype(np.int64)) <= 0).all()
 
 
-def test_resolve_flats_operator(spark):
+def test_resolve_flats_operator_distributed(spark):
+    """The fully distributed flat resolution (global flat labelling via
+    seam union-find + cross-tile BFS relaxation) equals the single-grid
+    pipeline cell-for-cell — including ragged tilings."""
     from richdem_spark.api import FillDepressions, ResolveFlats
     from richdem_spark.tiles import raster_from_array
 
-    rng = np.random.default_rng(21)
-    dem = rng.integers(0, 12, (24, 24)).astype(np.float64)
-    golden = priority_flood_fill(dem)
-    tr = raster_from_array(spark, dem, tile_w=8, tile_h=8)
-    dirs = ResolveFlats(FillDepressions(tr)).to_array()
-    oracle_dirs, _ = resolve_flats_pipeline(golden)
-    assert np.array_equal(dirs, oracle_dirs)
+    for seed, tw, th, shape in [(21, 8, 8, (24, 26)),
+                                (33, 5, 7, (20, 30))]:
+        rng = np.random.default_rng(seed)
+        dem = rng.integers(0, 12, shape).astype(np.float64)
+        golden = priority_flood_fill(dem)
+        tr = raster_from_array(spark, dem, tile_w=tw, tile_h=th)
+        dirs = ResolveFlats(FillDepressions(tr)).to_array()
+        oracle_dirs, _ = resolve_flats_pipeline(golden)
+        assert np.array_equal(dirs, oracle_dirs), (seed, shape)
+
+
+def test_resolved_flats_route_accumulation(spark):
+    """End-to-end: fill -> distributed flat resolution -> accumulation;
+    all mass must reach the DEM edge (no NO_FLOW sinks remain)."""
+    from richdem_spark.api import (
+        FillDepressions,
+        FlowAccumulationFromDirs,
+        ResolveFlats,
+    )
+    from richdem_spark.tiles import raster_from_array
+
+    rng = np.random.default_rng(3)
+    dem = rng.integers(0, 8, (30, 30)).astype(np.float64)
+    tr = raster_from_array(spark, dem, tile_w=10, tile_h=10)
+    dirs = ResolveFlats(FillDepressions(tr))
+    assert (dirs.to_array()[1:-1, 1:-1] != 0).all()
+    acc = FlowAccumulationFromDirs(dirs).to_array()
+    assert acc.min() >= 1.0
