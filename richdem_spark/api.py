@@ -24,7 +24,27 @@ from .tiles import TiledRaster
 def FillDepressions(
     tr: TiledRaster, epsilon: bool = False, topology: str = TOPO_D8
 ) -> TiledRaster:
-    return _fill(tr, topology=topology, epsilon=epsilon)
+    """Distributed Priority-Flood fill (Barnes 2016 two-round).
+
+    ``epsilon=True`` guarantees every cell drains.  Single-tile rasters
+    use the reference's PriorityFloodEpsilon semantics exactly
+    (Barnes2014.hpp:335-420); multi-tile rasters apply plain fill + the
+    distributed flat resolution's nextafter gradients
+    (flat_resolution.hpp:545-582) — the reference's own principled
+    alternative, exact across tile seams."""
+    m = tr.meta
+    if not epsilon or (m.ntiles_x == 1 and m.ntiles_y == 1
+                       ) or topology != TOPO_D8:
+        return _fill(tr, topology=topology, epsilon=epsilon)
+    filled = _fill(tr, topology=topology, epsilon=False)
+    from .ops.flats import (
+        alter_dem_distributed,
+        resolve_flats_distributed,
+    )
+
+    dirs = FlowDirectionsD8(filled)
+    mask, labels = resolve_flats_distributed(filled, dirs)
+    return alter_dem_distributed(filled, mask, labels)
 
 
 # ---------------------------------------------------------------------------

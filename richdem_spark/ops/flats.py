@@ -607,3 +607,61 @@ def flow_dirs_through_flats(
     return TiledRaster(
         out_df, dirs.meta.with_history("d8_flow_flats_distributed")
     )
+
+def alter_dem_distributed(
+    elev: TiledRaster, mask: TiledRaster, labels: TiledRaster
+) -> TiledRaster:
+    """d8_flats_alter_dem distributed (flat_resolution.hpp:545-582):
+    apply the flat mask as repeated np.nextafter increments.  Purely
+    per-cell given the global mask/labels; only global-DEM-edge cells are
+    skipped (the kernel's array-edge rule)."""
+    meta = elev.meta
+    ntx, nty = meta.ntiles_x, meta.ntiles_y
+    m_df = mask.df.select("tile_x", "tile_y",
+                          F.col("data").alias("mdata"))
+    l_df = labels.df.select("tile_x", "tile_y",
+                            F.col("data").alias("ldata"))
+    joined = elev.df.join(m_df, ["tile_x", "tile_y"]).join(
+        l_df, ["tile_x", "tile_y"])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("tile_x", "tile_y", "width", "height",
+                                   "dtype", "nodata", "data")}
+            for r in pdf.itertuples():
+                e = unpack(r.data, r.height, r.width,
+                           r.dtype).astype(np.float64).copy()
+                mk = unpack(r.mdata, r.height, r.width, "int64")
+                lb = unpack(r.ldata, r.height, r.width, "int64")
+                todo = mk.copy()
+                todo[lb == 0] = 0
+                todo[todo < 0] = 0
+                # skip global-DEM-edge cells (kernel's interior-only rule)
+                if r.tile_y == 0:
+                    todo[0, :] = 0
+                if r.tile_y == nty - 1:
+                    todo[-1, :] = 0
+                if r.tile_x == 0:
+                    todo[:, 0] = 0
+                if r.tile_x == ntx - 1:
+                    todo[:, -1] = 0
+                mx = int(todo.max()) if todo.size else 0
+                for _ in range(mx):
+                    mm = todo > 0
+                    if not mm.any():
+                        break
+                    e[mm] = np.nextafter(e[mm], np.inf)
+                    todo[mm] -= 1
+                out["tile_x"].append(r.tile_x)
+                out["tile_y"].append(r.tile_y)
+                out["width"].append(r.width)
+                out["height"].append(r.height)
+                out["dtype"].append("float64")
+                out["nodata"].append(r.nodata)
+                out["data"].append(pack(e))
+            yield pd.DataFrame(out)
+
+    out_df = joined.mapInPandas(run, TILE_SCHEMA)
+    return TiledRaster(
+        out_df, elev.meta.with_history("d8_flats_alter_dem_distributed")
+    )

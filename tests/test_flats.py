@@ -99,3 +99,20 @@ def test_resolved_flats_route_accumulation(spark):
     assert (dirs.to_array()[1:-1, 1:-1] != 0).all()
     acc = FlowAccumulationFromDirs(dirs).to_array()
     assert acc.min() >= 1.0
+
+
+def test_multi_tile_epsilon_fill_drains(spark):
+    """FillDepressions(epsilon=True) across tiles: every interior cell
+    must have a defined D8 direction (the reference's own correctness
+    criterion for epsilon fills, Barnes2014.hpp:326-331) — exact across
+    seams via the distributed flats gradients."""
+    from richdem_spark.api import FillDepressions, FlowDirectionsD8
+    from richdem_spark.tiles import raster_from_array
+
+    rng = np.random.default_rng(12)
+    dem = rng.integers(0, 6, (40, 40)).astype(np.float64)
+    tr = raster_from_array(spark, dem, tile_w=13, tile_h=11)
+    eps = FillDepressions(tr, epsilon=True)
+    d = FlowDirectionsD8(eps).to_array()
+    assert (d[1:-1, 1:-1] != 0).all()
+    assert (eps.to_array() >= dem).all()
