@@ -820,3 +820,69 @@ def ArcGISFlowdirs(dirs: TiledRaster) -> TiledRaster:
         out_dtype="uint8",
         op_name="d8_to_arcgis",
     )
+
+
+def Perimeter(tr: TiledRaster, perim_type: str = "CELL_COUNT") -> float:
+    """DEM perimeter (misc/misc_methods.hpp:173-240).
+
+    ``CELL_COUNT``: data cells with at least one off-grid neighbour
+    (grid-border cells).  ``SQUARE_EDGE``: cardinal cell edges bordering
+    off-grid or NoData cells."""
+    import numpy as np
+
+    from .ops.focal import aggregate_tiles, apply_focal
+
+    m = tr.meta
+    nd = m.nodata
+    if perim_type == "CELL_COUNT":
+        ntx, nty = m.ntiles_x, m.ntiles_y
+        rows = tr.df.select("tile_x", "tile_y", "width", "height",
+                            "data", "dtype", "nodata").collect() \
+            if m.ntiles_x * m.ntiles_y <= 4096 else None
+        if rows is None:
+            raise NotImplementedError("perimeter gate exceeded")
+        from .tiles import unpack as _unpack
+
+        total = 0
+        for r in rows:
+            a = _unpack(r.data, r.height, r.width, r.dtype)
+            is_data = (a != r.nodata) if r.nodata is not None else \
+                np.ones_like(a, dtype=bool)
+            mask = np.zeros_like(is_data)
+            if r.tile_y == 0:
+                mask[0, :] = True
+            if r.tile_y == nty - 1:
+                mask[-1, :] = True
+            if r.tile_x == 0:
+                mask[:, 0] = True
+            if r.tile_x == ntx - 1:
+                mask[:, -1] = True
+            total += int((mask & is_data).sum())
+        return float(total)
+    if perim_type != "SQUARE_EDGE":
+        raise KeyError(perim_type)
+
+    def kern(padded, nodata=None):
+        h, w = padded.shape
+        data = (padded != nodata) if nodata is not None else \
+            np.ones((h, w), bool)
+        edges = np.zeros((h, w), dtype=np.float64)
+        # cardinal neighbours; off-grid counts as boundary — the padded
+        # array's border IS the global border (unpadded sides)
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            nb_data = np.zeros((h, w), bool)
+            ys_d = slice(max(0, -dy), h - max(0, dy))
+            xs_d = slice(max(0, -dx), w - max(0, dx))
+            ys_s = slice(max(0, dy), h + min(0, dy))
+            xs_s = slice(max(0, dx), w + min(0, dx))
+            nb_data[ys_d, xs_d] = data[ys_s, xs_s]
+            edges += (data & ~nb_data)
+        edges[~data] = 0
+        return edges
+
+    counts = apply_focal(tr, kern, out_dtype="float64",
+                         kernel_kwargs={"nodata": nd},
+                         op_name="perimeter")
+    return float(aggregate_tiles(
+        counts, lambda a, _nd: float(a.sum()), lambda x, y: x + y, 0.0
+    ))

@@ -81,3 +81,32 @@ def test_histogram_and_arcgis(spark):
     td = raster_from_array(spark, dirs, tile_w=3, tile_h=2)
     arc = ArcGISFlowdirs(td).to_array()
     assert np.array_equal(arc, np.array([[0, 16, 32], [64, 128, 1]]))
+
+
+def test_perimeter(spark):
+    arr = np.full((10, 12), 5.0)
+    arr[4:6, 4:6] = -9999.0  # interior NoData hole
+    tr = raster_from_array(spark, arr, tile_w=5, tile_h=5, nodata=-9999.0)
+    from richdem_spark.api import Perimeter
+
+    # CELL_COUNT: all grid-border cells are data
+    assert Perimeter(tr, "CELL_COUNT") == 2 * 10 + 2 * 12 - 4
+    # SQUARE_EDGE: outer boundary edges + the 2x2 hole's 8 edges
+    assert Perimeter(tr, "SQUARE_EDGE") == (2 * 10 + 2 * 12) + 8
+
+
+def test_reference_style_smoke_all_methods(spark):
+    """Mirror of the reference's Beauford smoke test
+    (tests/tests.cpp:357-373): fill the DEM, then run every flow
+    accumulation method without error."""
+    from richdem_spark.api import FillDepressions, FlowAccumulation
+    from richdem_spark.kernels.perlin import generate_perlin_terrain
+
+    dem = generate_perlin_terrain(96, seed=7)
+    tr = raster_from_array(spark, dem, tile_w=32, tile_h=32)
+    filled = FillDepressions(tr).persist()
+    for method in ("D8", "OCallaghanD8", "Rho8", "Quinn", "Holmgren",
+                   "Freeman", "Tarboton", "Dinfinity"):
+        acc = FlowAccumulation(filled, method).to_array()
+        assert acc.max() >= 1.0, method
+        assert np.isfinite(acc[acc >= 0]).all(), method
