@@ -22,7 +22,8 @@ from .tiles import TiledRaster
 
 
 def FillDepressions(
-    tr: TiledRaster, epsilon: bool = False, topology: str = TOPO_D8
+    tr: TiledRaster, epsilon: bool = False, topology: str = TOPO_D8,
+    metrics=None,
 ) -> TiledRaster:
     """Distributed Priority-Flood fill (Barnes 2016 two-round).
 
@@ -35,8 +36,9 @@ def FillDepressions(
     m = tr.meta
     if not epsilon or (m.ntiles_x == 1 and m.ntiles_y == 1
                        ) or topology != TOPO_D8:
-        return _fill(tr, topology=topology, epsilon=epsilon)
-    filled = _fill(tr, topology=topology, epsilon=False)
+        return _fill(tr, topology=topology, epsilon=epsilon,
+                     metrics=metrics)
+    filled = _fill(tr, topology=topology, epsilon=False, metrics=metrics)
     from .ops.flats import (
         alter_dem_distributed,
         resolve_flats_distributed,

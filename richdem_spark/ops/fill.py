@@ -94,14 +94,17 @@ def _label_stride(meta: RasterMeta) -> int:
     return 2 * (meta.tile_w + meta.tile_h) + 8
 
 
-def _round1(meta: RasterMeta, topology: str):
+def _round1(meta: RasterMeta, topology: str, metrics=None):
     stride = _label_stride(meta)
     ntx = meta.ntiles_x
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
         for pdf in it:
             out = {f.name: [] for f in _R1_SCHEMA.fields}
             for r in pdf.itertuples():
+                t0 = _time.perf_counter()
                 a = unpack(r.data, r.height, r.width, r.dtype).astype(
                     np.float64
                 )
@@ -110,6 +113,11 @@ def _round1(meta: RasterMeta, topology: str):
                     a, r.nodata, meta.edge_mask(r.tile_x, r.tile_y), base,
                     topology,
                 )
+                if metrics is not None:
+                    metrics.record(
+                        "fill_round1", r.tile_x, r.tile_y,
+                        r.width * r.height, _time.perf_counter() - t0,
+                    )
                 ea, eb, ez = [], [], []
                 for (la, lb), z in edges.items():
                     ea.append(la)
@@ -249,7 +257,8 @@ def _seam_edges_df(r1, meta: RasterMeta, topology: str):
 
 
 def fill_depressions(
-    tr: TiledRaster, topology: str = TOPO_D8, epsilon: bool = False
+    tr: TiledRaster, topology: str = TOPO_D8, epsilon: bool = False,
+    metrics=None,
 ) -> TiledRaster:
     """Distributed Priority-Flood depression fill.
 
@@ -263,7 +272,7 @@ def fill_depressions(
     meta = tr.meta
     spark = tr.df.sparkSession
 
-    r1 = tr.df.mapInPandas(_round1(meta, topology), _R1_SCHEMA).persist()
+    r1 = tr.df.mapInPandas(_round1(meta, topology, metrics), _R1_SCHEMA).persist()
 
     in_tile_edges = r1.select(
         F.explode(F.arrays_zip("edge_a", "edge_b", "edge_z")).alias("e")

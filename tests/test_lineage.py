@@ -56,3 +56,16 @@ def test_checkpoint_resume(spark):
         assert np.array_equal(ck.to_array(), again.to_array())
         assert again.meta.history == filled.meta.history
         assert np.array_equal(again.to_array(), filled.to_array())
+
+
+def test_fill_op_metrics(spark):
+    """The flagship fill records per-tile partition metrics
+    (north_rule: per-partition lineage + metrics)."""
+    dem = np.random.default_rng(4).normal(10, 2, (24, 24))
+    tr = raster_from_array(spark, dem, tile_w=8, tile_h=8)
+    mc = MetricsCollector(spark)
+    out = FillDepressions(tr, metrics=mc)
+    out.df.count()
+    rows = [r for r in mc.rows() if r[0] == "fill_round1"]
+    assert len(rows) == 9
+    assert all(r[3] == 64 and r[4] >= 0 for r in rows)
