@@ -76,6 +76,7 @@ _R1_SCHEMA = StructType(
         StructField("elv_ne", DoubleType(), False),
         StructField("elv_sw", DoubleType(), False),
         StructField("elv_se", DoubleType(), False),
+        StructField("zmin", DoubleType(), False),
     ]
 )
 
@@ -154,6 +155,12 @@ def _round1(meta: RasterMeta, topology: str, metrics=None):
                 out["elv_ne"].append(float(filled[0, -1]))
                 out["elv_sw"].append(float(filled[-1, 0]))
                 out["elv_se"].append(float(filled[-1, -1]))
+                dmask = (a != r.nodata) if r.nodata is not None else None
+                out["zmin"].append(
+                    float(filled[dmask].min()) if dmask is not None
+                    and dmask.any() else float(filled.min())
+                    if dmask is None else float("inf")
+                )
             yield pd.DataFrame(out)
 
     return run
@@ -318,6 +325,39 @@ def fill_depressions(
     r1k = r1.withColumn(
         "tid", (F.col("tile_y") * F.lit(ntx) + F.col("tile_x")).cast("int")
     )
+
+    # pass-through fast path: a tile only needs the Python raise pass if
+    # some of its labels' water level exceeds the tile's minimum filled
+    # elevation; ocean/unaffected tiles are forwarded JVM-side untouched
+    passthrough = None
+    if not epsilon:
+        zmin = {
+            int(r.tile_y) * ntx + int(r.tile_x): float(r.zmin)
+            for r in r1.select("tile_x", "tile_y", "zmin").collect()
+        }
+        max_lvl: dict[int, float] = {}
+        for tid_, _l, z in lvl_rows:
+            max_lvl[tid_] = max(max_lvl.get(tid_, -np.inf), z)
+        needed = [
+            (t,) for t, mz in max_lvl.items()
+            if mz > zmin.get(t, np.inf)
+        ]
+        need_df = spark.createDataFrame(
+            needed, StructType([StructField("tid", IntegerType(), False)])
+        ) if needed else None
+        tile_cols = ["tile_x", "tile_y", "width", "height", "dtype",
+                     "nodata", "data"]
+        if need_df is None:
+            return TiledRaster(
+                r1.select(*tile_cols),
+                meta.with_history(
+                    f"fill_depressions(topology={topology}, "
+                    f"epsilon={epsilon})"),
+            )
+        passthrough = r1k.join(F.broadcast(need_df), "tid",
+                               "left_anti").select(*tile_cols)
+        r1k = r1k.join(F.broadcast(need_df), "tid", "left_semi")
+
     joined = (
         r1k.join(F.broadcast(lvl_df), "tid", "left")
         if lvl_df is not None
@@ -370,6 +410,8 @@ def fill_depressions(
             yield pd.DataFrame(out)
 
     out_df = joined.mapInPandas(round2, TILE_SCHEMA)
+    if passthrough is not None:
+        out_df = out_df.unionByName(passthrough)
     new_meta = RasterMeta(
         width=meta.width, height=meta.height, tile_w=meta.tile_w,
         tile_h=meta.tile_h, nodata=meta.nodata, dtype="float64",
