@@ -575,15 +575,39 @@ def DepressionVolumes(tr: TiledRaster, deps, labels: TiledRaster):
 
     import numpy as np
 
-    # broadcast compact hierarchy arrays
+    # Precompute, per leaf depression, its ancestor chain and the
+    # *prefix max* of outlet elevations along it.  The reference's
+    # per-cell climb ("walk up until elevation clears the outlet",
+    # depression_hierarchy.hpp:792-868) stops at the FIRST ancestor
+    # with out_elev >= e — which over the prefix-max sequence (monotone
+    # by construction) is a single vectorized searchsorted per cell.
     n = len(deps)
     parent = np.array([d.parent for d in deps], dtype=np.int64)
     out_elev = np.array(
         [d.out_elev if np.isfinite(d.out_elev) else np.inf for d in deps]
     )
     ocean_parent = np.array([d.ocean_parent for d in deps], dtype=bool)
+    chains = []
+    for i in range(n):
+        chain = []
+        c = i
+        while c != 0:
+            chain.append(c)
+            if ocean_parent[c]:
+                break
+            c = int(parent[c])
+        chains.append(chain)
+    depth = max((len(c) for c in chains), default=0) or 1
+    chain_dep = np.zeros((n, depth), dtype=np.int64)
+    chain_pm = np.full((n, depth), np.inf)
+    for i, chain in enumerate(chains):
+        if not chain:
+            continue
+        oe = np.maximum.accumulate(out_elev[chain])
+        chain_dep[i, : len(chain)] = chain
+        chain_pm[i, : len(chain)] = oe
     spark = tr.df.sparkSession
-    b = spark.sparkContext.broadcast((parent, out_elev, ocean_parent))
+    b = spark.sparkContext.broadcast((chain_dep, chain_pm))
 
     cells = tr.cells().withColumnRenamed("value", "elev")
     labs = labels.cells().withColumnRenamed("value", "label")
@@ -594,22 +618,13 @@ def DepressionVolumes(tr: TiledRaster, deps, labels: TiledRaster):
 
     @F.pandas_udf(LongType())
     def containing_dep(label: pd.Series, elev: pd.Series) -> pd.Series:
-        par, oe, op = b.value
+        cd, pm = b.value
         lab = label.to_numpy().astype(np.int64)
         el = elev.to_numpy()
-        out = lab.copy()
-        # walk each cell up until its elevation clears the outlet
-        for i in range(len(out)):
-            c = int(out[i])
-            e = el[i]
-            while c != 0:
-                if e <= oe[c]:
-                    break
-                if op[c]:
-                    c = 0
-                    break
-                c = int(par[c])
-            out[i] = c
+        # first chain slot whose prefix-max outlet >= e (0-pad -> dep 0)
+        idx = (pm[lab] < el[:, None]).sum(axis=1)
+        hit = idx < cd.shape[1]
+        out = np.where(hit, cd[lab, np.minimum(idx, cd.shape[1] - 1)], 0)
         return pd.Series(out)
 
     return (
@@ -647,15 +662,49 @@ def _rekey_flip(tr: TiledRaster, vert: bool) -> TiledRaster:
     if (vert and m.height % m.tile_h != 0) or (
         not vert and m.width % m.tile_w != 0
     ):
-        # ragged final tiles change size under a flip; gather-based path
-        arr = tr.to_array()
+        # ragged final tiles: flipped content straddles the destination
+        # tile grid — split each flipped tile into <=2 pieces keyed by
+        # destination tile and reassemble (one shuffle, no driver gather)
         import numpy as np
+        from .tiles import PIECE_SCHEMA, assemble_pieces
 
-        out = np.flipud(arr) if vert else np.fliplr(arr)
-        from .tiles import raster_from_array
+        H, W, th, tw = m.height, m.width, m.tile_h, m.tile_w
 
-        return raster_from_array(tr.df.sparkSession, out, m.tile_w,
-                                 m.tile_h, m.nodata, m.geotransform)
+        def pieces(it):
+            for pdf in it:
+                rows = {k: [] for k in ("tile_x", "tile_y", "py", "px",
+                                        "ph", "pw", "data")}
+                for r in pdf.itertuples():
+                    a = unpack(r.data, r.height, r.width, r.dtype)
+                    a = np.flipud(a) if vert else np.fliplr(a)
+                    gy0 = (H - r.tile_y * th - r.height) if vert \
+                        else r.tile_y * th
+                    gx0 = (W - r.tile_x * tw - r.width) if not vert \
+                        else r.tile_x * tw
+                    for tyd in range(gy0 // th, (gy0 + r.height - 1)
+                                     // th + 1):
+                        ys = max(gy0, tyd * th)
+                        ye = min(gy0 + r.height, (tyd + 1) * th)
+                        for txd in range(gx0 // tw, (gx0 + r.width - 1)
+                                         // tw + 1):
+                            xs = max(gx0, txd * tw)
+                            xe = min(gx0 + r.width, (txd + 1) * tw)
+                            rows["tile_x"].append(txd)
+                            rows["tile_y"].append(tyd)
+                            rows["py"].append(ys - tyd * th)
+                            rows["px"].append(xs - txd * tw)
+                            rows["ph"].append(ye - ys)
+                            rows["pw"].append(xe - xs)
+                            rows["data"].append(pack(
+                                a[ys - gy0 : ye - gy0, xs - gx0 : xe - gx0]
+                            ))
+                yield pd.DataFrame(rows)
+
+        pdf = tr.df.mapInPandas(pieces, PIECE_SCHEMA)
+        nm = m.with_history("flipVert" if vert else "flipHorz")
+        fill = m.nodata if m.nodata is not None else 0.0
+        out = assemble_pieces(pdf, nm, fill)
+        return out
 
     def run(it):
         import numpy as np
@@ -683,37 +732,114 @@ def _rekey_flip(tr: TiledRaster, vert: bool) -> TiledRaster:
 
 
 def Transpose(tr: TiledRaster) -> TiledRaster:
-    """Array2D::transpose (Array2D.hpp:726-747)."""
+    """Array2D::transpose (Array2D.hpp:726-747): the transposed tile grid
+    is the tile grid transposed — a pure per-tile ``.T`` + key swap, zero
+    shuffles beyond the key change, fully distributed."""
     import numpy as np
-    from .tiles import raster_from_array
+    import pandas as pd
+    from .tiles import TILE_SCHEMA, RasterMeta, TiledRaster, pack, unpack
 
     m = tr.meta
-    arr = tr.to_array().T if m.width * m.height <= 64_000_000 else None
-    if arr is None:
-        raise NotImplementedError("transpose gate exceeded")
-    res = raster_from_array(tr.df.sparkSession, np.ascontiguousarray(arr),
-                            m.tile_h, m.tile_w, m.nodata, m.geotransform)
-    res.meta = res.meta.with_history("transpose")
-    return res
+
+    def run(it):
+        for pdf in it:
+            rows = {k: [] for k in ("tile_x", "tile_y", "width", "height",
+                                    "dtype", "nodata", "data")}
+            for r in pdf.itertuples():
+                a = unpack(r.data, r.height, r.width, r.dtype)
+                rows["tile_x"].append(r.tile_y)
+                rows["tile_y"].append(r.tile_x)
+                rows["width"].append(r.height)
+                rows["height"].append(r.width)
+                rows["dtype"].append(r.dtype)
+                rows["nodata"].append(r.nodata)
+                rows["data"].append(pack(np.ascontiguousarray(a.T)))
+            yield pd.DataFrame(rows)
+
+    new_meta = RasterMeta(
+        width=m.height, height=m.width, tile_w=m.tile_h, tile_h=m.tile_w,
+        nodata=m.nodata, dtype=m.dtype, geotransform=m.geotransform,
+        projection=m.projection, history=m.history,
+    ).with_history("transpose")
+    return TiledRaster(tr.df.mapInPandas(run, TILE_SCHEMA), new_meta)
 
 
 def Expand(tr: TiledRaster, new_w: int, new_h: int,
            val: float) -> TiledRaster:
     """Array2D::expand (Array2D.hpp:891-914): grow canvas, data kept
-    top-left."""
+    top-left.  Distributed: existing ragged boundary tiles are padded
+    with ``val`` in place; tiles of the grown region are *generated* on
+    executors (spark.range anti-joined against existing keys) — the
+    driver never sees a data blob."""
     import numpy as np
-    from .tiles import raster_from_array
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from .tiles import TILE_SCHEMA, RasterMeta, TiledRaster, pack, unpack
 
     m = tr.meta
     if new_w < m.width or new_h < m.height:
         raise ValueError("expand cannot shrink")
-    arr = tr.to_array()
-    out = np.full((new_h, new_w), val, dtype=arr.dtype)
-    out[: m.height, : m.width] = arr
-    res = raster_from_array(tr.df.sparkSession, out, m.tile_w, m.tile_h,
-                            m.nodata, m.geotransform)
-    res.meta = res.meta.with_history(f"expand({new_w},{new_h})")
-    return res
+    spark = tr.df.sparkSession
+    tw, th = m.tile_w, m.tile_h
+    dt = m.dtype
+
+    def pad(it):
+        for pdf in it:
+            rows = {k: [] for k in ("tile_x", "tile_y", "width", "height",
+                                    "dtype", "nodata", "data")}
+            for r in pdf.itertuples():
+                a = unpack(r.data, r.height, r.width, r.dtype)
+                tw_t = min(tw, new_w - r.tile_x * tw)
+                th_t = min(th, new_h - r.tile_y * th)
+                if (r.height, r.width) != (th_t, tw_t):
+                    out = np.full((th_t, tw_t), val, dtype=a.dtype)
+                    out[: r.height, : r.width] = a
+                    a = out
+                rows["tile_x"].append(r.tile_x)
+                rows["tile_y"].append(r.tile_y)
+                rows["width"].append(tw_t)
+                rows["height"].append(th_t)
+                rows["dtype"].append(r.dtype)
+                rows["nodata"].append(r.nodata)
+                rows["data"].append(pack(a))
+            yield pd.DataFrame(rows)
+
+    padded = tr.df.mapInPandas(pad, TILE_SCHEMA)
+
+    ntx2 = (new_w + tw - 1) // tw
+    nty2 = (new_h + th - 1) // th
+    keys = spark.range(ntx2 * nty2).select(
+        (F.col("id") % ntx2).cast("int").alias("tile_x"),
+        (F.col("id") / ntx2).cast("int").alias("tile_y"),
+    )
+    missing = keys.join(
+        tr.df.select("tile_x", "tile_y"), ["tile_x", "tile_y"], "left_anti"
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = {k: [] for k in ("tile_x", "tile_y", "width", "height",
+                                    "dtype", "nodata", "data")}
+            for r in pdf.itertuples():
+                tw_t = min(tw, new_w - r.tile_x * tw)
+                th_t = min(th, new_h - r.tile_y * th)
+                a = np.full((th_t, tw_t), val, dtype=np.dtype(dt))
+                rows["tile_x"].append(r.tile_x)
+                rows["tile_y"].append(r.tile_y)
+                rows["width"].append(tw_t)
+                rows["height"].append(th_t)
+                rows["dtype"].append(dt)
+                rows["nodata"].append(m.nodata)
+                rows["data"].append(pack(a))
+            yield pd.DataFrame(rows)
+
+    out_df = padded.unionByName(missing.mapInPandas(gen, TILE_SCHEMA))
+    new_meta = RasterMeta(
+        width=new_w, height=new_h, tile_w=tw, tile_h=th,
+        nodata=m.nodata, dtype=dt, geotransform=m.geotransform,
+        projection=m.projection, history=m.history,
+    ).with_history(f"expand({new_w},{new_h})")
+    return TiledRaster(out_df, new_meta)
 
 
 def SetEdges(tr: TiledRaster, val: float) -> TiledRaster:
@@ -837,30 +963,27 @@ def Perimeter(tr: TiledRaster, perim_type: str = "CELL_COUNT") -> float:
     m = tr.meta
     nd = m.nodata
     if perim_type == "CELL_COUNT":
+        # distributed partial count: each tile needs only its own edge
+        # bitmask — zero halo, zero driver data blobs
         ntx, nty = m.ntiles_x, m.ntiles_y
-        rows = tr.df.select("tile_x", "tile_y", "width", "height",
-                            "data", "dtype", "nodata").collect() \
-            if m.ntiles_x * m.ntiles_y <= 4096 else None
-        if rows is None:
-            raise NotImplementedError("perimeter gate exceeded")
-        from .tiles import unpack as _unpack
 
-        total = 0
-        for r in rows:
-            a = _unpack(r.data, r.height, r.width, r.dtype)
-            is_data = (a != r.nodata) if r.nodata is not None else \
+        def tile_fn(a, nodata, tile_x, tile_y):
+            is_data = (a != nodata) if nodata is not None else \
                 np.ones_like(a, dtype=bool)
             mask = np.zeros_like(is_data)
-            if r.tile_y == 0:
+            if tile_y == 0:
                 mask[0, :] = True
-            if r.tile_y == nty - 1:
+            if tile_y == nty - 1:
                 mask[-1, :] = True
-            if r.tile_x == 0:
+            if tile_x == 0:
                 mask[:, 0] = True
-            if r.tile_x == ntx - 1:
+            if tile_x == ntx - 1:
                 mask[:, -1] = True
-            total += int((mask & is_data).sum())
-        return float(total)
+            return int((mask & is_data).sum())
+
+        return float(aggregate_tiles(
+            tr, tile_fn, lambda x, y: x + y, 0, with_coords=True
+        ))
     if perim_type != "SQUARE_EDGE":
         raise KeyError(perim_type)
 

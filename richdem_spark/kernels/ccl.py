@@ -39,13 +39,19 @@ def _row_segmin(vals: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return np.where(mask, out.reshape(h, w), _INF)
 
 
-def _min_dilate8(vals: np.ndarray, mask: np.ndarray) -> np.ndarray:
-    """One step of 8-neighbour min propagation within mask."""
+def _min_dilate8(vals: np.ndarray, mask: np.ndarray,
+                 connectivity: int = 8) -> np.ndarray:
+    """One step of 8- (or 4-) neighbour min propagation within mask."""
     h, w = vals.shape
     out = vals.copy()
     v = np.where(mask, vals, _INF)
-    for dy, dx in ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
-                   (1, -1), (1, 0), (1, 1)):
+    offs = (
+        ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+         (1, -1), (1, 0), (1, 1))
+        if connectivity == 8
+        else ((-1, 0), (0, -1), (0, 1), (1, 0))
+    )
+    for dy, dx in offs:
         shifted = np.full((h, w), _INF, dtype=np.int64)
         ys_d = slice(max(0, -dy), h - max(0, dy))
         xs_d = slice(max(0, -dx), w - max(0, dx))
@@ -56,9 +62,9 @@ def _min_dilate8(vals: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return np.where(mask, out, _INF)
 
 
-def label_components(mask: np.ndarray) -> np.ndarray:
-    """8-connected component ids for True cells (0 for False cells).
-    Ids are 1 + the min flat index within each component."""
+def label_components(mask: np.ndarray, connectivity: int = 8) -> np.ndarray:
+    """8- (or 4-) connected component ids for True cells (0 for False
+    cells).  Ids are 1 + the min flat index within each component."""
     h, w = mask.shape
     vals = np.where(mask, np.arange(h * w, dtype=np.int64).reshape(h, w),
                     _INF)
@@ -66,7 +72,7 @@ def label_components(mask: np.ndarray) -> np.ndarray:
         prev = vals
         vals = _row_segmin(vals, mask)
         vals = _row_segmin(vals.T, mask.T).T
-        vals = _min_dilate8(vals, mask)
+        vals = _min_dilate8(vals, mask, connectivity)
         if np.array_equal(vals, prev):
             break
     out = np.where(mask, vals + 1, 0)

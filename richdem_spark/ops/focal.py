@@ -197,10 +197,13 @@ def combine_tiles(
     return TiledRaster(out_df, new_meta)
 
 
-def aggregate_tiles(tr: "TiledRaster", tile_fn, combine_fn, init):
+def aggregate_tiles(tr: "TiledRaster", tile_fn, combine_fn, init,
+                    with_coords: bool = False):
     """Partial-per-tile + driver-final aggregation (min/max/count/
     surface-area class, Array2D.hpp:516-535,917-935): tile_fn(arr,
-    nodata) -> partial; combine_fn reduces partials."""
+    nodata) -> partial; combine_fn reduces partials.  With
+    ``with_coords=True`` the tile_fn is called as
+    ``tile_fn(arr, nodata, tile_x, tile_y)`` (edge-aware aggregates)."""
     # executor-side partials via mapInPandas, tiny rows to the driver
     import json as _json
 
@@ -214,7 +217,10 @@ def aggregate_tiles(tr: "TiledRaster", tile_fn, combine_fn, init):
             parts = []
             for r in pdf.itertuples():
                 arr = unpack(r.data, r.height, r.width, r.dtype)
-                parts.append(tile_fn(arr, r.nodata))
+                parts.append(
+                    tile_fn(arr, r.nodata, r.tile_x, r.tile_y)
+                    if with_coords else tile_fn(arr, r.nodata)
+                )
             if parts:
                 acc = parts[0]
                 for p in parts[1:]:

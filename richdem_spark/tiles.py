@@ -357,3 +357,51 @@ def halo_join(tr: TiledRaster) -> DataFrame:
         F.collect_list(F.struct("slot", "strip")).alias("halo")
     )
     return tr.df.join(packed, ["tile_x", "tile_y"], "left")
+
+
+PIECE_SCHEMA = StructType(
+    [
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("py", IntegerType(), False),   # paste offset in tile
+        StructField("px", IntegerType(), False),
+        StructField("ph", IntegerType(), False),   # piece dims
+        StructField("pw", IntegerType(), False),
+        StructField("data", BinaryType(), False),
+    ]
+)
+
+
+def assemble_pieces(
+    pieces: DataFrame, meta: RasterMeta, fill: float = 0.0
+) -> TiledRaster:
+    """Distributed re-layout: paste sub-array pieces (PIECE_SCHEMA rows,
+    keyed by destination tile) into fresh tiles — one shuffle on the
+    destination tile key, no driver gather.  Serves flips/crops/shifts
+    whose destination tile grid doesn't align with the source tiles."""
+    dt = meta.dtype
+    tw, th = meta.tile_w, meta.tile_h
+    W, H = meta.width, meta.height
+    nodata = meta.nodata
+
+    def paste(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        tw_t = min(tw, W - tx * tw)
+        th_t = min(th, H - ty * th)
+        out = np.full((th_t, tw_t), fill, dtype=np.dtype(dt))
+        for r in pdf.itertuples():
+            a = unpack(r.data, r.ph, r.pw, dt)
+            out[r.py : r.py + r.ph, r.px : r.px + r.pw] = a
+        return pd.DataFrame(
+            {
+                "tile_x": [tx], "tile_y": [ty],
+                "width": [tw_t], "height": [th_t],
+                "dtype": [dt], "nodata": [nodata],
+                "data": [pack(out)],
+            }
+        )
+
+    out_df = pieces.groupBy("tile_x", "tile_y").applyInPandas(
+        paste, TILE_SCHEMA
+    )
+    return TiledRaster(out_df, meta)

@@ -27,9 +27,17 @@ def test_flips_and_transpose(spark):
     assert np.array_equal(FlipVert(tr).to_array(), np.flipud(arr))
     assert np.array_equal(FlipHorz(tr).to_array(), np.fliplr(arr))
     assert np.array_equal(Transpose(tr).to_array(), arr.T)
-    # ragged tiling falls back to the gathered path
+    # ragged tiling: distributed piece-split path (both axes + transpose)
     tr2 = raster_from_array(spark, arr, tile_w=7, tile_h=5)
     assert np.array_equal(FlipVert(tr2).to_array(), np.flipud(arr))
+    assert np.array_equal(FlipHorz(tr2).to_array(), np.fliplr(arr))
+    t2 = Transpose(tr2)
+    assert np.array_equal(t2.to_array(), arr.T)
+    assert (t2.meta.tile_w, t2.meta.tile_h) == (5, 7)
+    # flip/transpose results must stay usable as tiled rasters
+    assert np.array_equal(
+        Transpose(t2).to_array(), arr
+    )
 
 
 def test_expand_setedges(spark):
