@@ -880,6 +880,31 @@ def SetEdges(tr: TiledRaster, val: float) -> TiledRaster:
                        m.with_history(f"setEdges({val})"))
 
 
+def FillDepressionsMaxDep(
+    tr: TiledRaster, max_dep_size: int,
+    max_cells: int = 64_000_000,
+) -> TiledRaster:
+    """Fill only depressions with <= max_dep_size marginal cells per
+    pit episode (PriorityFlood_Barnes2014_max_dep, Barnes2014.hpp:
+    844-931; goldens tests/tests.cpp:275-289).  The reference algorithm
+    is inherently sequential (episode grouping follows the global PQ pop
+    order), serial-only in the reference as well — single-partition
+    gate, exact port."""
+    from .kernels.fill import priority_flood_max_dep
+    from .tiles import raster_from_array
+
+    m = tr.meta
+    if m.width * m.height > max_cells:
+        raise NotImplementedError("max_dep fill gate exceeded")
+    out = priority_flood_max_dep(tr.to_array(), max_dep_size)
+    res = raster_from_array(tr.df.sparkSession, out, m.tile_w, m.tile_h,
+                            m.nodata, m.geotransform)
+    res.meta = res.meta.with_history(
+        f"fill_depressions_max_dep({max_dep_size})"
+    )
+    return res
+
+
 def BucketFill(tr: TiledRaster, check_value: float, fill_value: float,
                from_edges: bool = True,
                max_cells: int = 64_000_000) -> TiledRaster:

@@ -103,6 +103,18 @@ def lindsay2016(
     flood_array: list[int] = []
     offs = [(int(D8X[n]), int(D8Y[n])) for n in range(1, 9)]
     lowest_f = -np.inf
+    # Pristine surface AFTER the pit-raise preprocessing.  Selective and
+    # constrained traces measure path length/depth against this surface
+    # and carve min-accumulated against it, which makes re-traces over a
+    # shared channel (flat-bottomed pits emit one trace per pit cell)
+    # idempotent.  This is the semantics that reproduces ALL the
+    # reference goldens including
+    # tests/breaching/testdem1.constrained-len4-depth3.out; the in-tree
+    # constrained loop (Lindsay2016.hpp:363-374, "TODO: Refine this",
+    # `dem(cc) -= pathdepth`) does NOT reproduce its own fixture — it
+    # drops the first-popped pit cell to orig-pathdepth (verified by a
+    # direct port), which the fixture contradicts.
+    orig = dem.copy()
     while pq:
         z, _, ci = heapq.heappop(pq)
         cy, cx = divmod(ci, w)
@@ -119,8 +131,8 @@ def lindsay2016(
             else:
                 pathlen = 0
                 pathdepth = lowest_f
-                while cc != _NO_BACK_LINK and dem[cc] >= target:
-                    pathdepth = max(pathdepth, dem[cc] - target)
+                while cc != _NO_BACK_LINK and orig[cc] >= target:
+                    pathdepth = max(pathdepth, orig[cc] - target)
                     cc = backlinks[cc]
                     if eps_gradients:
                         target = np.nextafter(target, -np.inf)
@@ -128,22 +140,19 @@ def lindsay2016(
                 cc = ci
                 target = dem[ci]
                 if pathlen <= max_path_len and pathdepth <= max_depth:
-                    while cc != _NO_BACK_LINK and dem[cc] >= target:
-                        dem[cc] = target
+                    while cc != _NO_BACK_LINK and orig[cc] >= target:
+                        dem[cc] = min(dem[cc], target)
                         cc = backlinks[cc]
                         if eps_gradients:
                             target = np.nextafter(target, -np.inf)
                 elif mode == CONSTRAINED:
-                    # Carve each path cell down by at most max_depth,
-                    # never below the drainage target.  This matches the
-                    # reference's golden fixture
-                    # (tests/breaching/testdem1.constrained-len4-depth3.out)
-                    # and Lindsay's paper; the in-tree loop at
-                    # Lindsay2016.hpp:363-374 (`dem -= pathdepth`)
-                    # disagrees with its own golden and carries a
-                    # "TODO: Refine this" marker.
-                    while cc != _NO_BACK_LINK and dem[cc] >= target:
-                        dem[cc] = max(dem[cc] - max_depth, target)
+                    # carve each path cell at most max_depth below its
+                    # pristine elevation, never below the drainage target
+                    # (Lindsay 2016 paper semantics; fixture-exact)
+                    while cc != _NO_BACK_LINK and orig[cc] >= target:
+                        dem[cc] = min(
+                            dem[cc], max(orig[cc] - max_depth, target)
+                        )
                         if eps_gradients:
                             target = np.nextafter(target, -np.inf)
                         cc = backlinks[cc]

@@ -481,3 +481,67 @@ def graph_priority_flood(
     level watershed `label` fills to before it can drain to the ocean.
     """
     return _graph_pf(edges, OCEAN)[0]
+
+
+def priority_flood_max_dep(
+    elev: np.ndarray,
+    max_dep_size: int,
+    topology: str = TOPO_D8,
+) -> np.ndarray:
+    """Fill only small depressions (PriorityFlood_Barnes2014_max_dep,
+    Barnes2014.hpp:844-931) — exact port of the reference semantics:
+    cells strictly below the current water level accumulate in a
+    pit-queue *episode*; when the pit queue drains, the accumulated
+    shell is raised to the episode rim iff it has <= max_dep_size cells.
+    The reference measures the marginal shell per episode (nested pits
+    flush separately, lowest saddle first) and never special-cases
+    NoData; traversal never depends on the raises, so outputs are
+    deterministic."""
+    h, w = elev.shape
+    out = elev.astype(np.float64).copy()
+    closed = np.zeros((h, w), dtype=bool)
+    open_pq: list[tuple[float, int, int, int]] = []
+    seq = 0
+    for x in range(w):
+        for y in (0, h - 1):
+            if not closed[y, x]:
+                closed[y, x] = True
+                heapq.heappush(open_pq, (out[y, x], seq, x, y))
+                seq += 1
+    for y in range(1, h - 1):
+        for x in (0, w - 1):
+            if not closed[y, x]:
+                closed[y, x] = True
+                heapq.heappush(open_pq, (out[y, x], seq, x, y))
+                seq += 1
+
+    pit: list[tuple[float, int, int]] = []
+    pit_head = 0
+    dep_cells: list[tuple[int, int]] = []
+    dep_elev = 0.0
+    slots = list(_neigh_slots(topology))
+    while open_pq or pit_head < len(pit):
+        if pit_head < len(pit):
+            z, x, y = pit[pit_head]
+            pit_head += 1
+            dep_cells.append((x, y))
+        else:
+            z, _, x, y = heapq.heappop(open_pq)
+            if len(dep_cells) <= max_dep_size:
+                for px, py in dep_cells:
+                    out[py, px] = dep_elev
+            dep_cells.clear()
+            pit.clear()
+            pit_head = 0
+        for n in slots:
+            nx, ny = x + int(D8X[n]), y + int(D8Y[n])
+            if nx < 0 or nx >= w or ny < 0 or ny >= h or closed[ny, nx]:
+                continue
+            closed[ny, nx] = True
+            if out[ny, nx] < z:
+                pit.append((z, nx, ny))
+                dep_elev = z
+            else:
+                heapq.heappush(open_pq, (out[ny, nx], seq, nx, ny))
+                seq += 1
+    return out

@@ -115,7 +115,6 @@ def flow_accumulation_mfd(
     max_rounds: int = 10_000,
 ) -> TiledRaster:
     meta = tr.meta
-    spark = tr.df.sparkSession
     fm = _FMS[method]
 
     def round0(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -153,35 +152,34 @@ def flow_accumulation_mfd(
 
     state = halo_join(tr).mapInPandas(round0, _STATE_SCHEMA).persist()
 
-    inj_schema = StructType([
-        StructField("tile_x", IntegerType(), False),
-        StructField("tile_y", IntegerType(), False),
-        StructField("ix", ArrayType(IntegerType()), False),
-        StructField("iy", ArrayType(IntegerType()), False),
-        StructField("ival", ArrayType(DoubleType()), False),
-    ])
-
-    def collect_outflows(st):
-        rows = st.select("ox", "oy", "otx", "oty", "oval").collect()
-        per_tile: dict[tuple, dict] = {}
-        for r in rows:
-            for x, y, tx, ty, v in zip(r.ox, r.oy, r.otx, r.oty, r.oval):
-                d = per_tile.setdefault((tx, ty), {})
-                d[(x, y)] = d.get((x, y), 0.0) + v
-        return per_tile
-
     for _round in range(max_rounds):
-        per_tile = collect_outflows(state)
-        if not per_tile:
+        # loop-control scalar only — the injection rows themselves never
+        # touch the driver: they are exploded, re-keyed by target tile
+        # and shuffled straight back (one O(perimeter) exchange)
+        n_out = state.agg(
+            F.sum(F.size("ox")).alias("n")
+        ).first()["n"]
+        if not n_out:
             break
-        inj_rows = [
-            (tx, ty, [k[0] for k in d], [k[1] for k in d],
-             list(d.values()))
-            for (tx, ty), d in per_tile.items()
-        ]
-        inj_df = spark.createDataFrame(inj_rows, inj_schema)
-        joined = state.join(F.broadcast(inj_df), ["tile_x", "tile_y"],
-                            "left")
+        inj_df = (
+            state.select(
+                F.explode(
+                    F.arrays_zip("ox", "oy", "otx", "oty", "oval")
+                ).alias("o")
+            )
+            .select(
+                F.col("o.otx").alias("tile_x"),
+                F.col("o.oty").alias("tile_y"),
+                F.struct(
+                    F.col("o.ox").alias("ix"),
+                    F.col("o.oy").alias("iy"),
+                    F.col("o.oval").alias("iv"),
+                ).alias("inj"),
+            )
+            .groupBy("tile_x", "tile_y")
+            .agg(F.collect_list("inj").alias("inj"))
+        )
+        joined = state.join(inj_df, ["tile_x", "tile_y"], "left")
 
         def step(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
@@ -192,10 +190,14 @@ def flow_accumulation_mfd(
                     props = np.frombuffer(
                         r.props, dtype=np.float32
                     ).reshape(h, w, 9)
-                    if r.ix is not None and len(r.ix):
+                    if r.inj is not None and len(r.inj):
                         inj = np.zeros((h, w))
-                        for x, y, v in zip(r.ix, r.iy, r.ival):
-                            inj[y, x] += v
+                        ixs = np.array([s["ix"] for s in r.inj],
+                                       dtype=np.int64)
+                        iys = np.array([s["iy"] for s in r.inj],
+                                       dtype=np.int64)
+                        ivs = np.array([s["iv"] for s in r.inj])
+                        np.add.at(inj, (iys, ixs), ivs)
                         add = fmk.prop_flow_accum(props, weights=inj)
                         addv = np.where(add < 0, 0.0, add)
                         acc = np.where(acc < 0, acc, acc + addv)

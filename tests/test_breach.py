@@ -45,16 +45,12 @@ def test_selective_breaching(dem, name, args):
     assert np.array_equal(lindsay2016(d, nd, *args), _golden(name))
 
 
-@pytest.mark.xfail(
-    reason="stale reference fixture: testdem1.constrained-len4-depth3.out "
-    "is unreachable by the in-tree algorithm (Lindsay2016.hpp:363-374 "
-    "carries 'TODO: Refine this' and subtracts pathdepth, producing "
-    "different values; any re-trace over the flat-bottom pits carves the "
-    "channel below the fixture's values).  Our implementation follows the "
-    "paper: carve at most max_depth toward the drainage target.",
-    strict=True,
-)
 def test_constrained_breaching_golden(dem):
+    """Constrained mode vs the reference fixture.  The fixture is
+    reproduced by measuring/carving against the pristine (post-pit-raise)
+    surface with min-accumulation — idempotent under the re-traces that
+    flat-bottomed pits emit; the in-tree loop (Lindsay2016.hpp:363-374,
+    'TODO: Refine this') does not reproduce its own fixture."""
     d, nd = dem
     got = lindsay2016(d, nd, CONSTRAINED, False, False, 4, 3)
     assert np.array_equal(got, _golden("constrained-len4-depth3"))

@@ -168,3 +168,19 @@ def test_exit_cell_pointer_doubling():
         # drained DEM
         y, x = divmod(e, w)
         assert y in (0, h - 1) or x in (0, w - 1)
+
+
+def test_max_dep_fill_goldens():
+    """PriorityFlood_Barnes2014_max_dep vs the reference goldens
+    (tests/tests.cpp:275-289, testdem1.{1,2}.out)."""
+    from richdem_spark.kernels.fill import priority_flood_max_dep
+
+    dem, _ = read_ascii_grid(f"{REF}/depressions/testdem1.dem")
+    for k in (1, 2):
+        exp, _ = read_ascii_grid(f"{REF}/depressions/testdem1.{k}.out")
+        assert np.array_equal(priority_flood_max_dep(dem, k), exp), k
+    # huge limit == plain fill except cells AT the rim (strict <): the
+    # filled surface must still dominate the max_dep-filled one
+    full = priority_flood_fill(dem, nodata=None)
+    got = priority_flood_max_dep(dem, dem.size)
+    assert (got <= full).all() and (got >= dem).all()

@@ -118,3 +118,19 @@ def test_reference_style_smoke_all_methods(spark):
         acc = FlowAccumulation(filled, method).to_array()
         assert acc.max() >= 1.0, method
         assert np.isfinite(acc[acc >= 0]).all(), method
+
+
+def test_fill_max_dep_api(spark):
+    """API-level max_dep fill at two tilings vs the reference goldens."""
+    from richdem_spark.api import FillDepressionsMaxDep
+    from richdem_spark.kernels.ascii_io import read_ascii_grid
+
+    dem, _ = read_ascii_grid(
+        "/root/reference/tests/depressions/testdem1.dem")
+    for k in (1, 2):
+        exp, _ = read_ascii_grid(
+            f"/root/reference/tests/depressions/testdem1.{k}.out")
+        for tw, th in ((4, 4), (7, 3)):
+            tr = raster_from_array(spark, dem, tile_w=tw, tile_h=th)
+            got = FillDepressionsMaxDep(tr, k).to_array()
+            assert np.array_equal(got, exp), (k, tw, th)
