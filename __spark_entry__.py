@@ -463,6 +463,51 @@ def q_replace_classify(spark, sf_dir):
     )
 
 
+def q_dephier_fsm_demo(spark, sf_dir):
+    """Distributed depression hierarchy + Fill-Spill-Merge over the
+    rasterized documents DEM (rows-only check — the hierarchy build and
+    water routing are not SQL-expressible; exactness vs the single-grid
+    kernel is proven in tests/test_dephier.py).  Returns per-depression
+    volumes + stored water of the largest depressions."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(LAT).alias("lat"), F.expr(LON).alias("lon")
+    )
+    from richdem_spark.api import FillSpillMerge, GetDepressionHierarchy
+    from richdem_spark.tiles import TiledRaster, raster_from_array
+    from richdem_spark.webtext import rasterize_pages
+
+    from richdem_spark.api import Scale
+
+    # invert the page-density raster: population centres become basins
+    dem = Scale(
+        rasterize_pages(docs, grid=GRID, tile=16, value="log1p"), -1.0
+    )
+    deps, labels, flowdirs = GetDepressionHierarchy(dem)
+    # pour 0.1 units of water everywhere, route it
+    import numpy as np
+
+    wtd = raster_from_array(
+        spark, np.full((GRID, GRID), 0.1), 16, 16
+    )
+    water = FillSpillMerge(dem, wtd)
+    stored = water.cells().agg(
+        F.round(F.sum("value"), 6).alias("stored_water")
+    )
+    import pandas as pd
+
+    rows = [
+        (int(i), float(round(d.dep_vol, 6)), int(d.cell_count))
+        for i, d in enumerate(deps)
+        if i and d.dep_vol > 0
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    vols = spark.createDataFrame(
+        rows[:20] or [(0, 0.0, 0)],
+        "dep bigint, dep_vol double, cell_count bigint",
+    )
+    return vols.crossJoin(stored)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode+rasterize the documents table, distributed
     priority-flood fill + D8 flow accumulation, return the stream cells."""
@@ -480,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector_pair": q_raster_vector_pair,
         "flow_accum_dirs": q_flow_accum_dirs,
         "fill_accum_demo": q_fill_accum_demo,
+        "dephier_fsm_demo": q_dephier_fsm_demo,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,

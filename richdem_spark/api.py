@@ -7,6 +7,7 @@ entry, SURVEY.md §7.3)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
 
 from .constants import FLOWDIR_NO_DATA, NO_FLOW, TOPO_D8
 from .kernels import terrain as _terrain
@@ -502,29 +503,25 @@ def GetDepressionHierarchy(
     """Depression hierarchy (depressions/depression_hierarchy.hpp:243-725;
     pyRichDEM get_depression_hierarchy, __init__.py:815-864).
 
-    Returns (depressions, labels_raster, flowdirs_raster).  The hierarchy
-    build is ocean-seeded global PF; v1 gathers below ``max_cells`` (the
-    tiled spillover-graph variant is the roadmap item; the hierarchy
-    itself is tiny and driver-resident by design, SURVEY.md §1.6)."""
+    Returns (depressions, labels_raster, flowdirs_raster).  The default
+    ocean (global border + NoData) runs fully distributed
+    (ops/dephier.py, O(perimeter + #leaves) communication); a custom
+    ``ocean_labels`` raster uses the single-grid kernel below
+    ``max_cells``."""
     import numpy as np
 
     from .kernels.dephier import OCEAN, get_depression_hierarchy as _gdh
     from .tiles import raster_from_array
 
     m = tr.meta
+    if ocean_labels is None:
+        from .ops.dephier import depression_hierarchy
+
+        return depression_hierarchy(tr)
     if m.width * m.height > max_cells:
         raise NotImplementedError("dephier exceeds single-partition gate")
     dem = tr.to_array()
-    if ocean_labels is not None:
-        lab = ocean_labels.to_array()
-    else:
-        lab = np.full(dem.shape, -1, dtype=np.int64)
-        lab[0, :] = OCEAN
-        lab[-1, :] = OCEAN
-        lab[:, 0] = OCEAN
-        lab[:, -1] = OCEAN
-        if m.nodata is not None:
-            lab[dem == m.nodata] = OCEAN
+    lab = ocean_labels.to_array()
     deps, labels, flowdirs = _gdh(dem, lab)
     spark = tr.df.sparkSession
     lab_r = raster_from_array(spark, labels, m.tile_w, m.tile_h, -1.0,
@@ -534,36 +531,16 @@ def GetDepressionHierarchy(
     return deps, lab_r, flow_r
 
 
-def FillSpillMerge(
-    tr: TiledRaster, wtd: TiledRaster, max_cells: int = 16_000_000
-) -> TiledRaster:
+def FillSpillMerge(tr: TiledRaster, wtd: TiledRaster) -> TiledRaster:
     """Route standing surface water (fill_spill_merge.hpp:142-194;
     pyRichDEM fill_spill_merge, __init__.py:866-903).  ``wtd`` holds
-    surface-water depths; returns the post-routing standing water."""
-    from .kernels.dephier import OCEAN
-    from .kernels.dephier import get_depression_hierarchy as _gdh
-    from .kernels.fsm import fill_spill_merge as _fsm
-    from .tiles import raster_from_array
-    import numpy as np
+    surface-water depths; returns the post-routing standing water.
+    Fully distributed (ops/fsm.py): weighted two-round accumulation for
+    MoveWaterIntoPits, driver tree overflow, histogram-refined exact
+    water levels."""
+    from .ops.fsm import fill_spill_merge as _fsm
 
-    m = tr.meta
-    if m.width * m.height > max_cells:
-        raise NotImplementedError("FSM exceeds single-partition gate")
-    dem = tr.to_array()
-    water = wtd.to_array()
-    lab = np.full(dem.shape, -1, dtype=np.int64)
-    lab[0, :] = OCEAN
-    lab[-1, :] = OCEAN
-    lab[:, 0] = OCEAN
-    lab[:, -1] = OCEAN
-    if m.nodata is not None:
-        lab[dem == m.nodata] = OCEAN
-    deps, labels, flowdirs = _gdh(dem, lab)
-    out = _fsm(dem, labels, flowdirs, deps, water)
-    res = raster_from_array(tr.df.sparkSession, out, m.tile_w, m.tile_h,
-                            None, m.geotransform)
-    res.meta = res.meta.with_history("fill_spill_merge")
-    return res
+    return _fsm(tr, wtd)
 
 
 def DepressionVolumes(tr: TiledRaster, deps, labels: TiledRaster):

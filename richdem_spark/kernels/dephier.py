@@ -143,7 +143,18 @@ def get_depression_hierarchy(
                 if k not in outlet_db or outlet_db[k][1] > out_elev:
                     outlet_db[k] = (out_cell, out_elev)
 
-    # sort outlets by elevation; stable order on (elev, labels)
+    merge_outlet_db(deps, outlet_db)
+    _calculate_marginal_volumes(deps, demf, labels)
+    _calculate_total_volumes(deps)
+    return deps, labels.reshape(h, w), flowdirs.reshape(h, w)
+
+
+def merge_outlet_db(deps, outlet_db: dict) -> None:
+    """Sort outlets by elevation and union-find merge the leaf
+    depressions into the binary meta-depression tree, in place
+    (depression_hierarchy.hpp:561-702).  ``outlet_db``:
+    {(label_a, label_b): (out_cell, out_elev)} with leaf labels indexing
+    ``deps`` (OCEAN = 0)."""
     outlets = sorted(
         ((a, b, oc, oe) for (a, b), (oc, oe) in outlet_db.items()),
         key=lambda o: (o[3], o[0], o[1]),
@@ -201,10 +212,6 @@ def get_depression_hierarchy(
                 )
             parent_uf[depa_set] = newlabel
             parent_uf[depb_set] = newlabel
-
-    _calculate_marginal_volumes(deps, demf, labels)
-    _calculate_total_volumes(deps)
-    return deps, labels.reshape(h, w), flowdirs.reshape(h, w)
 
 
 def _calculate_marginal_volumes(deps, demf, labels):

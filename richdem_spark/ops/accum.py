@@ -272,14 +272,19 @@ def _solve_perimeter_graph(perim_rows, meta: RasterMeta):
         done += 1
         amount = node_la[exit_ids[ei]] + recv[ei]
         rn = r_nid[ei]
-        if rn < 0 or amount == 0.0:
-            continue
-        t2 = (int(ttxy[node_tid[rn], 0]), int(ttxy[node_tid[rn], 1]))
-        key = (int(node_x[rn]), int(node_y[rn]))
-        entry_offsets[t2][key] = entry_offsets[t2].get(key, 0.0) + amount
+        if rn >= 0 and amount != 0.0:
+            t2 = (int(ttxy[node_tid[rn], 0]), int(ttxy[node_tid[rn], 1]))
+            key = (int(node_x[rn]), int(node_y[rn]))
+            entry_offsets[t2][key] = (
+                entry_offsets[t2].get(key, 0.0) + amount
+            )
+        # the successor's in-degree must drop even for zero-mass handoffs
+        # (weighted accumulation can carry 0 along a path), else Kahn
+        # starves and a live graph is misreported as a loop
         e2 = se_idx[ei]
         if e2 >= 0:
-            recv[e2] += amount
+            if rn >= 0:
+                recv[e2] += amount
             indeg[e2] -= 1
             if indeg[e2] == 0:
                 ready.append(int(e2))

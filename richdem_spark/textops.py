@@ -74,22 +74,43 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8,
 
 
 def minhash_lsh_pairs(sh: DataFrame, num_hashes: int = 8, bands: int = 4,
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      max_bucket_size: int | None = 100_000) -> DataFrame:
     """LSH candidate pairs: band the signature (rows = num_hashes/bands),
     bucket-join docs sharing a band value.  Returns (a, b, band) pairs
-    a < b."""
+    a < b.
+
+    The signature aggregate is scanned ONCE (bands exploded from an
+    array of structs, not one projection per band).
+
+    ``max_bucket_size`` is the 100 TB guard: a bucket with k members
+    emits k(k-1)/2 candidates, so one boilerplate-heavy bucket (cookie
+    banners, license headers) can dominate the whole join.  Buckets
+    larger than the cap are dropped from candidate generation — their
+    members are near-certain duplicates of each other and are better
+    handled by the exact-dedup pass; the default is far above anything
+    a healthy corpus produces, so small-scale results are unchanged."""
     sig = minhash_signatures(sh, num_hashes, id_col)
     rows = num_hashes // bands
-    bands_df = None
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        one = sig.select(
-            F.col(id_col).alias("doc"),
+    band_structs = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws("_", *[c.cast("string") for c in cols])
-            .alias("bucket"),
+            F.concat_ws("_", *[
+                F.col(f"mh{b * rows + r}").cast("string")
+                for r in range(rows)
+            ]).alias("bucket"),
         )
-        bands_df = one if bands_df is None else bands_df.unionByName(one)
+        for b in range(bands)
+    ])
+    bands_df = sig.select(
+        F.col(id_col).alias("doc"), F.explode(band_structs).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        sizes = bands_df.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("bkt_n")
+        ).where(F.col("bkt_n") <= max_bucket_size)
+        bands_df = bands_df.join(sizes, ["band", "bucket"], "left_semi")
     left = bands_df.select(F.col("doc").alias("a"), "band", "bucket")
     right = bands_df.select(F.col("doc").alias("b"), "band", "bucket")
     return (
@@ -101,11 +122,25 @@ def minhash_lsh_pairs(sh: DataFrame, num_hashes: int = 8, bands: int = 4,
 
 
 def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_doc_freq: int | None = 100_000) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs sharing >= 1
     shingle.  |A∩B| from the shingle self-join, |A∪B| = |A|+|B|-|∩|.
     The self-join shuffles on the shingle key; stop-shingle skew is the
-    classic hazard — AQE skew-join splits hot shingles."""
+    classic hazard — AQE skew-join splits hot shingles.
+
+    ``max_doc_freq`` is the 100 TB guard: a shingle present in k docs
+    contributes k² join rows, so corpus-wide boilerplate shingles make
+    the self-join quadratic.  Shingles above the document-frequency
+    cutoff are removed from the universe BEFORE the join (sizes are
+    computed on the same filtered universe, so the Jaccard stays
+    internally consistent — the standard stop-shingle treatment); the
+    default cap is inactive at test scale."""
+    if max_doc_freq is not None:
+        keep = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("df_n")
+        ).where(F.col("df_n") <= max_doc_freq)
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")
     b = sh.select(F.col(id_col).alias("b"), "shingle")

@@ -138,3 +138,114 @@ def test_last_layer():
     deps, lab, flow = get_depression_hierarchy(dem, labels)
     ll = last_layer(lab, dem, deps)
     assert ll.shape == dem.shape
+
+
+# --------------------------------------------------------------------------
+# distributed depression hierarchy + FSM (ops/dephier.py, ops/fsm.py)
+# --------------------------------------------------------------------------
+
+
+def _tiefree(seed, lo=14, hi=32):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(lo, hi))
+    return rng.standard_normal((n, n)).cumsum(0).cumsum(1)
+
+
+def test_distributed_hierarchy_matches_single_grid(spark):
+    """On tie-free DEMs the distributed hierarchy must equal the
+    single-grid kernel field-for-field at >=3 tilings (incl. ragged and
+    single-tile)."""
+    from richdem_spark.ops.dephier import depression_hierarchy
+    from richdem_spark.tiles import raster_from_array
+
+    for seed in (1, 2):
+        dem = _tiefree(seed)
+        n = dem.shape[0]
+        labels = _ocean_border_labels(n, n)
+        ds, lab_s, flow_s = get_depression_hierarchy(dem, labels)
+        for tw, th in ((8, 8), (5, 7), (n, n)):
+            tr = raster_from_array(spark, dem, tile_w=tw, tile_h=th)
+            dd, lab_d, flow_d = depression_hierarchy(tr)
+            assert len(dd) == len(ds), (seed, tw, th)
+            for a, b in zip(ds, dd):
+                for f in ("parent", "lchild", "rchild", "odep",
+                          "geolink", "ocean_parent", "cell_count"):
+                    assert getattr(a, f) == getattr(b, f), (seed, tw, f)
+                assert np.isclose(a.pit_elev, b.pit_elev)
+                assert np.isclose(a.out_elev, b.out_elev) or (
+                    np.isinf(a.out_elev) and np.isinf(b.out_elev))
+                assert np.isclose(a.dep_vol, b.dep_vol)
+            assert np.array_equal(lab_d.to_array(), lab_s), (seed, tw)
+            assert np.array_equal(
+                flow_d.to_array(), flow_s.astype(np.uint8)), (seed, tw)
+
+
+def test_distributed_fsm_huge_water_equals_fill(spark):
+    from richdem_spark.api import FillSpillMerge
+    from richdem_spark.tiles import raster_from_array
+
+    dem = _tiefree(31)
+    wtd = np.full(dem.shape, 1e6)
+    tr = raster_from_array(spark, dem, tile_w=7, tile_h=9)
+    tw = raster_from_array(spark, wtd, tile_w=7, tile_h=9)
+    out = FillSpillMerge(tr, tw).to_array()
+    assert np.allclose(dem + out, priority_flood_fill(dem), atol=1e-6)
+
+
+def test_distributed_fsm_matches_single_grid(spark):
+    from richdem_spark.api import FillSpillMerge
+    from richdem_spark.tiles import raster_from_array
+
+    for seed in (41, 42):
+        dem = _tiefree(seed)
+        n = dem.shape[0]
+        rng = np.random.default_rng(seed + 1000)
+        wtd = np.maximum(rng.standard_normal(dem.shape), 0.0) * 2
+        labels = _ocean_border_labels(n, n)
+        deps, lab, flow = get_depression_hierarchy(dem, labels)
+        gold = fill_spill_merge(dem, lab, flow, deps, wtd.copy())
+        for tw_, th_ in ((8, 8), (5, 11)):
+            tr = raster_from_array(spark, dem, tile_w=tw_, tile_h=th_)
+            twr = raster_from_array(spark, wtd, tile_w=tw_, tile_h=th_)
+            out = FillSpillMerge(tr, twr).to_array()
+            assert np.allclose(out, gold, atol=1e-8), (seed, tw_, th_)
+
+
+def test_distributed_fsm_conservation(spark):
+    from richdem_spark.api import FillSpillMerge
+    from richdem_spark.tiles import raster_from_array
+
+    dem = np.array([
+        [0, 0, 0, 0, 0, 0, 0],
+        [0, 9, 9, 9, 9, 9, 0],
+        [0, 9, 1, 1, 1, 9, 0],
+        [0, 9, 1, 1, 1, 9, 0],
+        [0, 9, 9, 9, 9, 9, 0],
+        [0, 0, 0, 0, 0, 0, 0]], dtype=np.float64)
+    wtd = np.zeros(dem.shape)
+    wtd[3, 3] = 5.0
+    tr = raster_from_array(spark, dem, tile_w=3, tile_h=3)
+    twr = raster_from_array(spark, wtd, tile_w=3, tile_h=3)
+    out = FillSpillMerge(tr, twr).to_array()
+    assert out.sum() == pytest.approx(5.0, rel=1e-9)
+    assert np.allclose((dem + out)[out > 0], 1 + 5.0 / 6.0)
+
+
+def test_weighted_accum_zero_mass_paths(spark):
+    """Regression: zero-weight perimeter handoffs must not starve the
+    cross-tile Kahn solve (falsely reported as a flow loop)."""
+    from richdem_spark.api import FlowAccumulationFromDirs
+    from richdem_spark.kernels.d8 import d8_flow_accum, d8_flow_directions
+    from richdem_spark.kernels.fill import priority_flood_fill_epsilon
+    from richdem_spark.tiles import raster_from_array
+
+    rng = np.random.default_rng(77)
+    dem = priority_flood_fill_epsilon(
+        rng.standard_normal((24, 24)).cumsum(0).cumsum(1))
+    dirs = d8_flow_directions(dem)
+    w = np.zeros(dem.shape)  # all-zero weights: every handoff is 0 mass
+    golden = d8_flow_accum(dirs, weights=w)
+    dr = raster_from_array(spark, dirs, tile_w=8, tile_h=8)
+    wr = raster_from_array(spark, w, tile_w=8, tile_h=8)
+    got = FlowAccumulationFromDirs(dr, weights=wr).to_array()
+    assert np.array_equal(got, golden)

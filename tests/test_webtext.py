@@ -68,3 +68,32 @@ def test_geo_skew_exists(spark):
     dem = rasterize_pages(pages, grid=128, tile=32, value="count")
     arr = dem.to_array()
     assert arr.max() > 10 * arr[arr > 0].mean()
+
+
+def test_lsh_bucket_cap_and_jaccard_docfreq(spark):
+    """Scale guards: oversized LSH buckets and high-doc-freq shingles are
+    excluded from candidate generation; defaults leave results unchanged."""
+    import pandas as pd
+    from richdem_spark.textops import (
+        minhash_lsh_pairs, ngram_jaccard_pairs, shingles,
+    )
+
+    docs = [(i, "common boiler plate text shared by every doc")
+            for i in range(6)]
+    docs += [(100, "a unique document about rivers and valleys here"),
+             (101, "a unique document about rivers and valleys here")]
+    df = spark.createDataFrame(pd.DataFrame(docs,
+                                            columns=["doc_id", "text"]))
+    sh = shingles(df)
+    # default caps inactive: the 6-dup cluster + the pair both found
+    pairs = minhash_lsh_pairs(sh).select("a", "b").distinct().count()
+    assert pairs == 15 + 1
+    # cap of 4: the 6-member buckets are dropped, the 2-member kept
+    capped = minhash_lsh_pairs(sh, max_bucket_size=4) \
+        .select("a", "b").distinct().collect()
+    assert {(r.a, r.b) for r in capped} == {(100, 101)}
+    # doc-freq cutoff: shingles in all 6 boilerplate docs removed
+    jc = ngram_jaccard_pairs(sh, threshold=0.5, max_doc_freq=4).collect()
+    assert {(r.a, r.b) for r in jc} == {(100, 101)}
+    full = ngram_jaccard_pairs(sh, threshold=0.5).count()
+    assert full == 15 + 1
