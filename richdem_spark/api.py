@@ -35,8 +35,29 @@ def FillDepressions(
     (flat_resolution.hpp:545-582) — the reference's own principled
     alternative, exact across tile seams."""
     m = tr.meta
-    if not epsilon or (m.ntiles_x == 1 and m.ntiles_y == 1
-                       ) or topology != TOPO_D8:
+    multi = m.ntiles_x > 1 or m.ntiles_y > 1
+    if epsilon and multi and topology != TOPO_D8:
+        # D4 epsilon needs D4-connected gradients; the distributed flats
+        # machinery is D8.  Exact single-grid kernel below the gate,
+        # loud refusal above it — never a silently seam-inconsistent
+        # per-tile epsilon.
+        if m.width * m.height > 64_000_000:
+            raise NotImplementedError(
+                "multi-tile D4 epsilon fill: no distributed D4 gradient "
+                "path yet (D8 epsilon is fully distributed)"
+            )
+        from .kernels.fill import priority_flood_fill_pq
+        from .tiles import raster_from_array
+
+        out = priority_flood_fill_pq(
+            tr.to_array(), m.nodata, topology, epsilon=True
+        )
+        res = raster_from_array(tr.df.sparkSession, out, m.tile_w,
+                                m.tile_h, m.nodata, m.geotransform)
+        res.meta = res.meta.with_history(
+            f"fill_depressions(topology={topology}, epsilon=True)")
+        return res
+    if not epsilon or not multi:
         return _fill(tr, topology=topology, epsilon=epsilon,
                      metrics=metrics)
     filled = _fill(tr, topology=topology, epsilon=False, metrics=metrics)
@@ -77,6 +98,42 @@ def FlowDirectionsDinf(tr: TiledRaster) -> TiledRaster:
         kernel_kwargs={"nodata": tr.meta.nodata},
         op_name="dinf_flow_directions",
     )
+
+
+def ResolveFlatsDinf(tr: TiledRaster) -> TiledRaster:
+    """resolve_flats_barnes_dinf (flats/flat_resolution_dinf.hpp:100-113):
+    D-infinity angles, Barnes flat resolution for the gradient mask, then
+    masked Tarboton facets recomputed inside each flat.  Fully
+    distributed (halo focal passes + the distributed flats machinery);
+    cells that remain unresolvable keep the dinf NO_FLOW marker (-1)."""
+    from .kernels.flowmet import dinf_flow_directions as _dinf
+    from .ops.flats import (
+        dinf_flow_flats_distributed,
+        resolve_flats_distributed,
+    )
+    from .ops.focal import combine_tiles
+
+    ang = apply_focal(
+        tr, _dinf, out_dtype="float64", out_nodata=-1.0,
+        kernel_kwargs={"nodata": tr.meta.nodata, "no_flow_value": -1.0},
+        op_name="dinf_flow_directions",
+    )
+    nd = tr.meta.nodata
+
+    def pseudo_fn(a, e):
+        # pseudo-D8 raster for the flat finder: 0 = NO_FLOW, 1 = flows,
+        # FLOWDIR_NO_DATA where the DEM is NoData
+        out = np.where(a == -1.0, NO_FLOW, 1).astype(np.uint8)
+        if nd is not None:
+            out[e == nd] = FLOWDIR_NO_DATA
+        return out
+
+    pseudo = combine_tiles(
+        ang, tr, pseudo_fn, out_dtype="uint8",
+        out_nodata=float(FLOWDIR_NO_DATA), op_name="dinf_pseudo_dirs",
+    )
+    mask, labels = resolve_flats_distributed(tr, pseudo)
+    return dinf_flow_flats_distributed(ang, mask, labels)
 
 
 def _sfd_props_to_dirs_kernel(fm_kernel, fm_kwargs):

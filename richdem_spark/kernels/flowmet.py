@@ -199,10 +199,14 @@ def _shift_xy(e, dx, dy, fill):
 
 
 def dinf_flow_directions(e: np.ndarray,
-                         nodata: float | None = None) -> np.ndarray:
+                         nodata: float | None = None,
+                         no_flow_value: float = 0.0) -> np.ndarray:
     """Tarboton 1997 continuous angles [0, 2pi)
     (dinf_flowdirs.hpp:45-115): per facet, the steepest slope direction;
-    edges forced outward; NoData assumed very negative."""
+    edges forced outward; NoData assumed very negative.
+    ``no_flow_value``: marker for cells with no positive facet slope
+    (the reference's dinf NO_FLOW = -1; the default 0.0 keeps the
+    historical behaviour of this kernel's callers)."""
     h, w = e.shape
     ef = e.astype(np.float64)
     smax = np.zeros((h, w))
@@ -229,7 +233,7 @@ def dinf_flow_directions(e: np.ndarray,
         nmax >= 0,
         _AF[np.clip(nmax, 0, 7)] * rmax
         + _AC[np.clip(nmax, 0, 7)] * np.pi / 2.0,
-        0.0,
+        no_flow_value,
     )
     # forced-outward edges (dinf_flowdirs.hpp:47-66)
     rg[0, :] = 2 * np.pi / 4
@@ -336,4 +340,90 @@ def prop_flow_accum(props: np.ndarray,
             frontier = np.array([], dtype=np.int64)
     out = accum.reshape(h, w)
     out[~valid.reshape(h, w)] = -1.0
+    return out
+
+
+# D8 slot -> D-infinity angle (flat_resolution_dinf.hpp:16)
+D8_TO_DINF = np.array([
+    -1.0, 4 * np.pi / 4, 3 * np.pi / 4, 2 * np.pi / 4, 1 * np.pi / 4,
+    0.0, 7 * np.pi / 4, 6 * np.pi / 4, 5 * np.pi / 4,
+])
+DINF_NO_FLOW = -1.0
+
+
+def dinf_flow_flats(
+    flat_mask: np.ndarray, groups: np.ndarray, angles: np.ndarray,
+) -> np.ndarray:
+    """Recompute D-infinity angles inside resolved flats from the flat
+    gradient mask, restricted to same-group facets
+    (``dinf_masked_FlowDir`` / ``dinf_flow_flats``,
+    flats/flat_resolution_dinf.hpp:18-98) — vectorized.
+
+    Cells whose ``angles`` equal DINF_NO_FLOW (-1) and whose mask is
+    valid (!= -1) get the Tarboton facet direction computed over the
+    integer flat mask; facets with any off-group corner are skipped; if
+    no positive facet slope exists, the first lower same-group D8
+    neighbour's spoke angle is used (hpp:62-69).  Interior cells only —
+    callers keep the forced-outward border."""
+    h, w = flat_mask.shape
+    mk = flat_mask.astype(np.float64)
+    todo = (angles == DINF_NO_FLOW) & (flat_mask != -1) & (groups != 0)
+    out = angles.astype(np.float64).copy()
+    if not todo.any():
+        return out
+
+    smax = np.zeros((h, w))
+    rmax = np.zeros((h, w))
+    nmax = np.full((h, w), -1, dtype=np.int64)
+    dang = np.arctan2(1.0, 1.0)
+
+    def shift_i(a, dx, dy, fill):
+        o = np.full((h, w), fill, dtype=a.dtype)
+        ys_d = slice(max(0, -dy), h - max(0, dy))
+        xs_d = slice(max(0, -dx), w - max(0, dx))
+        ys_s = slice(max(0, dy), h + min(0, dy))
+        xs_s = slice(max(0, dx), w + min(0, dx))
+        o[ys_d, xs_d] = a[ys_s, xs_s]
+        return o
+
+    for n in range(8):
+        e1 = shift_i(mk, int(_DX_E1[n]), int(_DY_E1[n]), np.nan)
+        e2 = shift_i(mk, int(_DX_E2[n]), int(_DY_E2[n]), np.nan)
+        g1 = shift_i(groups, int(_DX_E1[n]), int(_DY_E1[n]),
+                     np.int64(-9))
+        g2 = shift_i(groups, int(_DX_E2[n]), int(_DY_E2[n]),
+                     np.int64(-9))
+        okg = (g1 == groups) & (g2 == groups)
+        s1 = mk - e1
+        s2 = e1 - e2
+        r = np.arctan2(s2, s1)
+        s = np.where(
+            r < 0, s1,
+            np.where(r > dang, (mk - e2) / np.sqrt(2.0),
+                     np.sqrt(s1 * s1 + s2 * s2)),
+        )
+        r = np.clip(r, 0.0, dang)
+        take = okg & (s > smax) & todo
+        smax = np.where(take, s, smax)
+        rmax = np.where(take, r, rmax)
+        nmax = np.where(take, n, nmax)
+
+    got = todo & (nmax >= 0)
+    out[got] = (_AF[np.clip(nmax, 0, 7)] * rmax
+                + _AC[np.clip(nmax, 0, 7)] * np.pi / 2.0)[got]
+
+    # fallback: first lower same-group D8 neighbour, slots in 1..8 order
+    rest = todo & ~got
+    if rest.any():
+        from ..constants import D8X, D8Y
+
+        for n in range(1, 9):
+            gn = shift_i(groups, int(D8X[n]), int(D8Y[n]), np.int64(-9))
+            mn = shift_i(mk, int(D8X[n]), int(D8Y[n]), np.nan)
+            hit = rest & (gn == groups) & (mn < mk)
+            if hit.any():
+                out[hit] = D8_TO_DINF[n]
+                rest &= ~hit
+            if not rest.any():
+                break
     return out

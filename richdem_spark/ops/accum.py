@@ -41,6 +41,10 @@ from ..constants import D8X, D8Y, FLOWDIR_NO_DATA
 from ..kernels.d8 import d8_flow_accum, exit_cell_of
 from ..tiles import TILE_SCHEMA, RasterMeta, TiledRaster, pack, unpack
 
+# graphs at most this big are solved on the driver; larger ones run
+# as a single-partition executor job (tests patch this down)
+DRIVER_SOLVE_MAX_PERIM = 2_000_000
+
 _R1_SCHEMA = StructType(
     [
         StructField("tile_x", IntegerType(), False),
@@ -315,19 +319,6 @@ def flow_accumulation_d8(
     else:
         r1 = dirs.df.mapInPandas(_round1("none"), _R1_SCHEMA).persist()
 
-    perim = r1.select(
-        "tile_x", "tile_y", "width", "height",
-        "px", "py", "pacc", "qx", "qy", "qdir", "pvalid",
-    ).collect()
-
-    entry_offsets = _solve_perimeter_graph(perim, meta)
-
-    off_rows = [
-        (tx, ty,
-         [int(k[0]) for k in d], [int(k[1]) for k in d],
-         [float(v) for v in d.values()])
-        for (tx, ty), d in entry_offsets.items()
-    ]
     off_schema = StructType(
         [
             StructField("tile_x", IntegerType(), False),
@@ -337,8 +328,53 @@ def flow_accumulation_d8(
             StructField("oval", ArrayType(DoubleType()), False),
         ]
     )
-    if off_rows:
-        off_df = spark.createDataFrame(off_rows, off_schema)
+    perim_cols = ["tile_x", "tile_y", "width", "height",
+                  "px", "py", "pacc", "qx", "qy", "qdir", "pvalid"]
+
+    def offsets_to_rows(entry_offsets):
+        return [
+            (tx, ty,
+             [int(k[0]) for k in d], [int(k[1]) for k in d],
+             [float(v) for v in d.values()])
+            for (tx, ty), d in entry_offsets.items()
+        ]
+
+    # O(total perimeter) graph: driver solve below the threshold (lowest
+    # latency), single-partition executor job above it so the perimeter
+    # records and the offsets never touch the driver
+    perim_estimate = (
+        meta.ntiles_x * meta.ntiles_y * 2 * (meta.tile_w + meta.tile_h)
+    )
+    if perim_estimate <= DRIVER_SOLVE_MAX_PERIM:
+        perim = r1.select(*perim_cols).collect()
+        off_rows = offsets_to_rows(_solve_perimeter_graph(perim, meta))
+        off_df = (
+            spark.createDataFrame(off_rows, off_schema)
+            if off_rows else None
+        )
+    else:
+        def exec_solve(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from collections import namedtuple
+
+            PR = namedtuple("PR", perim_cols)
+            rows = []
+            for pdf in it:
+                rows.extend(
+                    PR(*t) for t in
+                    pdf[perim_cols].itertuples(index=False, name=None)
+                )
+            off_rows = offsets_to_rows(_solve_perimeter_graph(rows, meta))
+            if off_rows:
+                yield pd.DataFrame(off_rows, columns=[
+                    "tile_x", "tile_y", "ox", "oy", "oval"])
+
+        off_df = r1.select(*perim_cols).repartition(1).mapInPandas(
+            exec_solve, off_schema
+        ).persist()
+        if off_df.rdd.isEmpty():
+            off_df = None
+
+    if off_df is not None:
         joined = r1.join(F.broadcast(off_df), ["tile_x", "tile_y"], "left")
     else:
         joined = (

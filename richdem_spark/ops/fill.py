@@ -80,6 +80,10 @@ _R1_SCHEMA = StructType(
     ]
 )
 
+# graphs at most this big are solved on the driver; larger ones run
+# as a single-partition executor job (tests patch this down)
+DRIVER_SOLVE_MAX_PERIM = 2_000_000
+
 _EDGE_SCHEMA = StructType(
     [
         StructField("a", LongType(), False),
@@ -289,24 +293,15 @@ def fill_depressions(
         F.col("e.edge_z").alias("z"),
     )
     seam_edges = _seam_edges_df(r1, meta, topology)
-    # JVM-side partial aggregation keeps the collected graph minimal
-    all_edges = (
+    # JVM-side partial aggregation keeps the label graph minimal
+    edges_df = (
         in_tile_edges.unionByName(seam_edges)
         .groupBy("a", "b")
         .agg(F.min("z").alias("z"))
-        .collect()
     )
 
-    graph_elev = graph_priority_flood([(r.a, r.b, r.z) for r in all_edges])
-
-    # ship water levels back via a join on tile id (scales past broadcast)
     stride = _label_stride(meta)
     ntx = meta.ntiles_x
-    lvl_rows = [
-        (int((l - 2) // stride), int(l), float(z))
-        for l, z in graph_elev.items()
-        if l > 1 and z != -np.inf
-    ]
     lvl_schema = StructType(
         [
             StructField("tid", IntegerType(), False),
@@ -314,11 +309,60 @@ def fill_depressions(
             StructField("level", DoubleType(), False),
         ]
     )
+    # the graph is O(total perimeter); below the threshold the driver
+    # solves it (one collect, lowest latency), above it the solve runs
+    # as a single-partition executor job and the levels never touch the
+    # driver (the reference's own scaling concern,
+    # parallel_priority_flood/main.cpp:498-545 runs on the producer rank)
+    perim_estimate = (
+        meta.ntiles_x * meta.ntiles_y * 2 * (meta.tile_w + meta.tile_h)
+    )
+    if perim_estimate <= DRIVER_SOLVE_MAX_PERIM:
+        all_edges = edges_df.collect()
+        graph_elev = graph_priority_flood(
+            [(r.a, r.b, r.z) for r in all_edges]
+        )
+        lvl_rows = [
+            (int((l - 2) // stride), int(l), float(z))
+            for l, z in graph_elev.items()
+            if l > 1 and z != -np.inf
+        ]
+        lvl_flat = (
+            spark.createDataFrame(lvl_rows, lvl_schema)
+            if lvl_rows else None
+        )
+    else:
+        def exec_solve(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..kernels.fill import graph_priority_flood as gpf
+
+            edges = []
+            for pdf in it:
+                edges.extend(zip(pdf["a"].tolist(), pdf["b"].tolist(),
+                                 pdf["z"].tolist()))
+            ge = gpf(edges)
+            rows = [
+                (int((l - 2) // stride), int(l), float(z))
+                for l, z in ge.items()
+                if l > 1 and z != -np.inf
+            ]
+            if rows:
+                yield pd.DataFrame(
+                    {"tid": [r[0] for r in rows],
+                     "label": [r[1] for r in rows],
+                     "level": [r[2] for r in rows]}
+                )
+
+        lvl_flat = edges_df.repartition(1).mapInPandas(
+            exec_solve, lvl_schema
+        ).persist()
+        if lvl_flat.rdd.isEmpty():
+            lvl_flat = None
+
     lvl_df = (
-        spark.createDataFrame(lvl_rows, lvl_schema)
+        lvl_flat
         .groupBy("tid")
         .agg(F.collect_list(F.struct("label", "level")).alias("levels"))
-        if lvl_rows
+        if lvl_flat is not None
         else None
     )
 
@@ -331,29 +375,24 @@ def fill_depressions(
     # elevation; ocean/unaffected tiles are forwarded JVM-side untouched
     passthrough = None
     if not epsilon:
-        zmin = {
-            int(r.tile_y) * ntx + int(r.tile_x): float(r.zmin)
-            for r in r1.select("tile_x", "tile_y", "zmin").collect()
-        }
-        max_lvl: dict[int, float] = {}
-        for tid_, _l, z in lvl_rows:
-            max_lvl[tid_] = max(max_lvl.get(tid_, -np.inf), z)
-        needed = [
-            (t,) for t, mz in max_lvl.items()
-            if mz > zmin.get(t, np.inf)
-        ]
-        need_df = spark.createDataFrame(
-            needed, StructType([StructField("tid", IntegerType(), False)])
-        ) if needed else None
         tile_cols = ["tile_x", "tile_y", "width", "height", "dtype",
                      "nodata", "data"]
-        if need_df is None:
+        if lvl_df is None:
             return TiledRaster(
                 r1.select(*tile_cols),
                 meta.with_history(
                     f"fill_depressions(topology={topology}, "
                     f"epsilon={epsilon})"),
             )
+        # pass-through fast path selection stays JVM-side: a tile needs
+        # the Python raise pass only if some label's water level exceeds
+        # the tile's minimum filled elevation
+        need_df = (
+            lvl_flat.groupBy("tid").agg(F.max("level").alias("mx"))
+            .join(r1k.select("tid", "zmin"), "tid")
+            .where(F.col("mx") > F.col("zmin"))
+            .select("tid")
+        )
         passthrough = r1k.join(F.broadcast(need_df), "tid",
                                "left_anti").select(*tile_cols)
         r1k = r1k.join(F.broadcast(need_df), "tid", "left_semi")

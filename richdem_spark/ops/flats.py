@@ -665,3 +665,59 @@ def alter_dem_distributed(
     return TiledRaster(
         out_df, elev.meta.with_history("d8_flats_alter_dem_distributed")
     )
+
+
+def dinf_flow_flats_distributed(
+    angles: TiledRaster, mask: TiledRaster, labels: TiledRaster
+) -> TiledRaster:
+    """dinf_flow_flats distributed: per-tile pass with halos of
+    (mask, labels), recomputing NO_FLOW (-1) D-infinity angles inside
+    resolved flats (flat_resolution_dinf.hpp:74-98)."""
+    m_halo = halo_join(mask).select(
+        "tile_x", "tile_y", F.col("data").alias("mdata"),
+        F.col("halo").alias("mhalo"),
+    )
+    l_halo = halo_join(labels).select(
+        "tile_x", "tile_y", F.col("data").alias("ldata"),
+        F.col("halo").alias("lhalo"),
+    )
+    joined = angles.df.join(m_halo, ["tile_x", "tile_y"]).join(
+        l_halo, ["tile_x", "tile_y"])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.flowmet import DINF_NO_FLOW, dinf_flow_flats
+
+        for pdf in it:
+            out = {k: [] for k in ("tile_x", "tile_y", "width", "height",
+                                   "dtype", "nodata", "data")}
+            for r in pdf.itertuples():
+                a = unpack(r.data, r.height, r.width, "float64")
+                mk = unpack(r.mdata, r.height, r.width, "int64")
+                lb = unpack(r.ldata, r.height, r.width, "int64")
+                sm = ([(s["slot"], s["strip"]) for s in r.mhalo]
+                      if r.mhalo is not None else [])
+                slb = ([(s["slot"], s["strip"]) for s in r.lhalo]
+                       if r.lhalo is not None else [])
+                pm, pt, pl = assemble_padded(mk, sm, "int64", -1.0)
+                plb, _, _ = assemble_padded(lb, slb, "int64", 0.0)
+                pa = np.full(pm.shape, DINF_NO_FLOW, dtype=np.float64)
+                # halo angles irrelevant (only the core is resolved and
+                # group checks guard neighbours); mark halo as flowing so
+                # it is never treated as part of the todo set
+                pa[...] = 1e9
+                pa[pt : pt + r.height, pl : pl + r.width] = a
+                res = dinf_flow_flats(pm, plb, pa)
+                core = res[pt : pt + r.height, pl : pl + r.width]
+                out["tile_x"].append(r.tile_x)
+                out["tile_y"].append(r.tile_y)
+                out["width"].append(r.width)
+                out["height"].append(r.height)
+                out["dtype"].append("float64")
+                out["nodata"].append(-1.0)
+                out["data"].append(pack(core))
+            yield pd.DataFrame(out)
+
+    out_df = joined.mapInPandas(run, TILE_SCHEMA)
+    return TiledRaster(
+        out_df, angles.meta.with_history("dinf_flow_flats_distributed")
+    )

@@ -130,22 +130,25 @@ def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
     classic hazard — AQE skew-join splits hot shingles.
 
     ``max_doc_freq`` is the 100 TB guard: a shingle present in k docs
-    contributes k² join rows, so corpus-wide boilerplate shingles make
-    the self-join quadratic.  Shingles above the document-frequency
-    cutoff are removed from the universe BEFORE the join (sizes are
-    computed on the same filtered universe, so the Jaccard stays
-    internally consistent — the standard stop-shingle treatment); the
-    default cap is inactive at test scale."""
+    contributes k² candidate rows, so corpus-wide boilerplate shingles
+    make the pair generation quadratic.  Pairs are generated from ONE
+    groupBy(shingle) posting list (cheaper than the classic self-join:
+    the shingle table shuffles once, not twice) and the guard is a free
+    ``size(list) <= cap`` filter on the posting list; dropped shingles
+    leave the universe entirely (sizes computed on the same filtered
+    universe, the standard stop-shingle treatment).  The default cap is
+    inactive at test scale."""
+    postings = sh.groupBy("shingle").agg(
+        F.collect_list(F.col(id_col)).alias("ids")
+    )
     if max_doc_freq is not None:
-        keep = sh.groupBy("shingle").agg(
-            F.count(F.lit(1)).alias("df_n")
-        ).where(F.col("df_n") <= max_doc_freq)
-        sh = sh.join(keep, "shingle", "left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
+        postings = postings.where(F.size("ids") <= max_doc_freq)
+    sizes = postings.select(
+        F.explode("ids").alias(id_col)
+    ).groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
-        a.join(b, "shingle")
+        postings.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("i"))

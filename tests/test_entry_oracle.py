@@ -85,8 +85,10 @@ def test_query_matches_oracle(spark, ddb, name):
 
 def test_all_queries_have_oracle_or_reason():
     missing = set(QUERIES) - set(ORACLES)
-    # fill_accum_demo is the documented non-SQL-expressible op
-    assert missing == {"fill_accum_demo"}, missing
+    # the documented non-SQL-expressible ops (iterative hydrology):
+    # their exactness is proven in tests/ against reference goldens and
+    # the single-grid kernels instead
+    assert missing == {"fill_accum_demo", "dephier_fsm_demo"}, missing
 
 
 def test_entry_smoke(spark):

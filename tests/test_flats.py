@@ -116,3 +116,101 @@ def test_multi_tile_epsilon_fill_drains(spark):
     d = FlowDirectionsD8(eps).to_array()
     assert (d[1:-1, 1:-1] != 0).all()
     assert (eps.to_array() >= dem).all()
+
+
+# --------------------------------------------------------------------------
+# D-infinity flat resolution (flats/flat_resolution_dinf.hpp)
+# --------------------------------------------------------------------------
+
+
+def _dinf_masked_flowdir_reference(mask, groups, x, y):
+    """Per-cell transcription of dinf_masked_FlowDir
+    (flat_resolution_dinf.hpp:18-72) — the test oracle."""
+    import math
+
+    from richdem_spark.constants import D8X, D8Y
+    from richdem_spark.kernels.flowmet import (
+        _AC, _AF, _DX_E1, _DX_E2, _DY_E1, _DY_E2, D8_TO_DINF,
+    )
+
+    h, w = mask.shape
+    smax, nmax, rmax = 0.0, -1, 0.0
+    for n in range(8):
+        x1, y1 = x + int(_DX_E1[n]), y + int(_DY_E1[n])
+        x2, y2 = x + int(_DX_E2[n]), y + int(_DY_E2[n])
+        if not (0 <= x1 < w and 0 <= y1 < h
+                and 0 <= x2 < w and 0 <= y2 < h):
+            continue
+        if groups[y1, x1] != groups[y, x] or groups[y2, x2] != groups[y, x]:
+            continue
+        e0, e1, e2 = float(mask[y, x]), float(mask[y1, x1]), \
+            float(mask[y2, x2])
+        s1, s2 = e0 - e1, e1 - e2
+        r = math.atan2(s2, s1)
+        if r < 0:
+            r, s = 0.0, s1
+        elif r > math.atan2(1, 1):
+            r, s = math.atan2(1, 1), (e0 - e2) / math.sqrt(2)
+        else:
+            s = math.sqrt(s1 * s1 + s2 * s2)
+        if s > smax:
+            smax, nmax, rmax = s, n, r
+    if nmax != -1:
+        return _AF[nmax] * rmax + _AC[nmax] * np.pi / 2
+    for n in range(1, 9):
+        nx, ny = x + int(D8X[n]), y + int(D8Y[n])
+        if (0 <= nx < w and 0 <= ny < h
+                and groups[ny, nx] == groups[y, x]
+                and mask[ny, nx] < mask[y, x]):
+            return D8_TO_DINF[n]
+    return -1.0
+
+
+def test_dinf_flow_flats_vs_transcription():
+    """Vectorized dinf_flow_flats == the per-cell reference
+    transcription on random flat masks."""
+    from richdem_spark.kernels.flowmet import dinf_flow_flats
+
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        h, w = rng.integers(8, 20, 2)
+        mask = rng.integers(0, 5, (h, w)).astype(np.int64)
+        groups = rng.integers(1, 4, (h, w)).astype(np.int64)
+        angles = np.where(rng.random((h, w)) < 0.6, -1.0, 0.5)
+        got = dinf_flow_flats(mask, groups, angles)
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                if angles[y, x] != -1.0 or mask[y, x] == -1:
+                    continue
+                exp = _dinf_masked_flowdir_reference(mask, groups, x, y)
+                assert np.isclose(got[y, x], exp), (trial, y, x)
+
+
+def test_resolve_flats_dinf_distributed(spark):
+    """Distributed ResolveFlatsDinf == the single-grid composition
+    (dinf dirs -> resolve_flats -> dinf_flow_flats) at 2 tilings, and
+    interior flats with outlets end up resolved."""
+    from richdem_spark.api import ResolveFlatsDinf
+    from richdem_spark.constants import FLOWDIR_NO_DATA, NO_FLOW
+    from richdem_spark.kernels.flats import resolve_flats
+    from richdem_spark.kernels.flowmet import (
+        dinf_flow_directions, dinf_flow_flats,
+    )
+    from richdem_spark.tiles import raster_from_array
+
+    rng = np.random.default_rng(23)
+    for trial in range(2):
+        dem = rng.integers(0, 6, (26, 26)).astype(np.float64)
+        dem[8:16, 8:18] = 3.0   # a big flat with outlets
+        ang = dinf_flow_directions(dem, no_flow_value=-1.0)
+        pseudo = np.where(ang == -1.0, NO_FLOW, 1).astype(np.uint8)
+        mask, labels = resolve_flats(dem, pseudo)
+        golden = dinf_flow_flats(mask, labels, ang)
+        for tw, th in ((9, 7), (13, 13)):
+            tr = raster_from_array(spark, dem, tile_w=tw, tile_h=th)
+            got = ResolveFlatsDinf(tr).to_array()
+            assert np.allclose(got, golden), (
+                trial, tw, th, np.argwhere(~np.isclose(got, golden))[:5])
+        # resolution actually happened inside the flat
+        inner = golden[9:15, 9:17]
+        assert (inner != -1.0).any()

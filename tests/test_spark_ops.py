@@ -178,3 +178,51 @@ def test_weighted_accumulation(spark):
     w_tr = raster_from_array(spark, w, tile_w=9, tile_h=8)
     got = FlowAccumulationFromDirs(dirs_tr, weights=w_tr).to_array()
     assert np.allclose(got, golden, atol=1e-9)
+
+
+def test_multi_tile_d4_epsilon_drainage(spark):
+    """Multi-tile D4 epsilon fill: every interior cell must have a
+    strictly-lower D4 neighbour (the epsilon drainage property), exact
+    across tile seams."""
+    from richdem_spark.api import FillDepressions
+    from richdem_spark.constants import TOPO_D4
+    from richdem_spark.kernels.fill import priority_flood_fill_pq
+    from richdem_spark.tiles import raster_from_array
+
+    rng = np.random.default_rng(55)
+    dem = rng.integers(0, 40, (22, 26)).astype(np.float64)
+    tr = raster_from_array(spark, dem, tile_w=8, tile_h=8)
+    out = FillDepressions(tr, epsilon=True, topology=TOPO_D4).to_array()
+    golden = priority_flood_fill_pq(dem, None, TOPO_D4, epsilon=True)
+    assert np.array_equal(out, golden)
+    lower = np.zeros(dem.shape, dtype=bool)
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        h, w = dem.shape
+        sl_d = (slice(max(0, -dy), h - max(0, dy)),
+                slice(max(0, -dx), w - max(0, dx)))
+        sl_s = (slice(max(0, dy), h - max(0, -dy)),
+                slice(max(0, dx), w - max(0, -dx)))
+        lower[sl_d] |= out[sl_s] < out[sl_d]
+    assert lower[1:-1, 1:-1].all()
+
+
+def test_executor_side_graph_solves(spark, monkeypatch):
+    """Forcing the off-driver (single-partition executor) solve path must
+    give identical fill and accumulation results."""
+    import richdem_spark.ops.accum as accum_mod
+    import richdem_spark.ops.fill as fill_mod
+    from richdem_spark.api import FillDepressions, FlowAccumulation
+    from richdem_spark.tiles import raster_from_array
+
+    rng = np.random.default_rng(13)
+    dem = rng.integers(0, 50, (24, 24)).astype(np.float64)
+    tr = raster_from_array(spark, dem, tile_w=8, tile_h=8)
+    golden_fill = FillDepressions(tr).to_array()
+    golden_acc = FlowAccumulation(
+        FillDepressions(tr), "D8").to_array()
+    monkeypatch.setattr(fill_mod, "DRIVER_SOLVE_MAX_PERIM", 0)
+    monkeypatch.setattr(accum_mod, "DRIVER_SOLVE_MAX_PERIM", 0)
+    got_fill = FillDepressions(tr).to_array()
+    assert np.array_equal(got_fill, golden_fill)
+    got_acc = FlowAccumulation(FillDepressions(tr), "D8").to_array()
+    assert np.array_equal(got_acc, golden_acc)
