@@ -940,38 +940,23 @@ def FillDepressionsMaxDep(
 
 
 def BucketFill(tr: TiledRaster, check_value: float, fill_value: float,
-               from_edges: bool = True,
-               max_cells: int = 64_000_000) -> TiledRaster:
-    """Conditional flood fill (misc/misc_methods.hpp:258-334);
-    single-partition gate in v1 (the tiled variant uses the same seam
-    union-find as the fill)."""
-    from .kernels.misc import bucket_fill_from_edges
-    from .tiles import raster_from_array
+               from_edges: bool = True) -> TiledRaster:
+    """Conditional flood fill from the grid edges
+    (misc/misc_methods.hpp:258-334).  Fully distributed: per-tile CCL +
+    O(perimeter) seam union-find + per-tile rewrite (ops/regions.py)."""
+    from .ops.regions import bucket_fill_from_edges
 
-    m = tr.meta
-    if m.width * m.height > max_cells:
-        raise NotImplementedError("bucket fill gate exceeded")
-    out = bucket_fill_from_edges(tr.to_array(), check_value, fill_value)
-    res = raster_from_array(tr.df.sparkSession, out, m.tile_w, m.tile_h,
-                            m.nodata, m.geotransform)
-    res.meta = res.meta.with_history("bucket_fill")
-    return res
+    return bucket_fill_from_edges(tr, check_value, fill_value)
 
 
-def UpslopeCells(dirs: TiledRaster, x0: int, y0: int, x1: int, y1: int,
-                 max_cells: int = 64_000_000) -> TiledRaster:
-    """Cells draining through a line (methods/d8_methods.hpp:167-236)."""
-    from .kernels.misc import d8_upslope_cells
-    from .tiles import raster_from_array
+def UpslopeCells(dirs: TiledRaster, x0: int, y0: int,
+                 x1: int, y1: int) -> TiledRaster:
+    """Cells draining through a line (methods/d8_methods.hpp:167-236).
+    Fully distributed: per-tile OR-flag pointer doubling + O(perimeter)
+    cross-tile chain resolution (ops/regions.py)."""
+    from .ops.regions import upslope_cells
 
-    m = dirs.meta
-    if m.width * m.height > max_cells:
-        raise NotImplementedError("upslope gate exceeded")
-    out = d8_upslope_cells(dirs.to_array().astype("uint8"), x0, y0, x1, y1)
-    res = raster_from_array(dirs.df.sparkSession, out, m.tile_w, m.tile_h,
-                            None, m.geotransform)
-    res.meta = res.meta.with_history("d8_upslope_cells")
-    return res
+    return upslope_cells(dirs, x0, y0, x1, y1)
 
 
 def Histogram(tr: TiledRaster) -> dict:

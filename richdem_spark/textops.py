@@ -106,15 +106,17 @@ def minhash_lsh_pairs(sh: DataFrame, num_hashes: int = 8, bands: int = 4,
         F.col(id_col).alias("doc"), F.explode(band_structs).alias("bb")
     ).select("doc", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+    # bucket posting lists: ONE shuffle of the banded signatures (the
+    # self-join formulation scans the signature aggregate twice and
+    # shuffles both sides); the cap is a free size() filter
+    buckets = bands_df.groupBy("band", "bucket").agg(
+        F.collect_list("doc").alias("docs")
+    ).where(F.size("docs") >= 2)
     if max_bucket_size is not None:
-        sizes = bands_df.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("bkt_n")
-        ).where(F.col("bkt_n") <= max_bucket_size)
-        bands_df = bands_df.join(sizes, ["band", "bucket"], "left_semi")
-    left = bands_df.select(F.col("doc").alias("a"), "band", "bucket")
-    right = bands_df.select(F.col("doc").alias("b"), "band", "bucket")
+        buckets = buckets.where(F.size("docs") <= max_bucket_size)
     return (
-        left.join(right, ["band", "bucket"])
+        buckets.select("band", F.explode("docs").alias("a"), "docs")
+        .select("band", "a", F.explode("docs").alias("b"))
         .where(F.col("a") < F.col("b"))
         .select("a", "b", "band")
         .distinct()

@@ -134,3 +134,34 @@ def test_fill_max_dep_api(spark):
             tr = raster_from_array(spark, dem, tile_w=tw, tile_h=th)
             got = FillDepressionsMaxDep(tr, k).to_array()
             assert np.array_equal(got, exp), (k, tw, th)
+
+
+def test_bucket_fill_distributed_fuzz(spark):
+    """Distributed BucketFill == the single-grid kernel on random masks
+    at multiple tilings (snaking regions cross many seams)."""
+    from richdem_spark.kernels.misc import bucket_fill_from_edges as bk
+
+    rng = np.random.default_rng(99)
+    for trial in range(3):
+        h, w = int(rng.integers(18, 34)), int(rng.integers(18, 34))
+        g = (rng.random((h, w)) < 0.55).astype(np.float64)
+        golden = bk(g, 1.0, 7.0)
+        for tw, th in ((8, 8), (5, 9)):
+            tr = raster_from_array(spark, g, tile_w=tw, tile_h=th)
+            got = BucketFill(tr, 1.0, 7.0).to_array()
+            assert np.array_equal(got, golden), (trial, tw, th)
+
+
+def test_upslope_cells_distributed_fuzz(spark):
+    """Distributed UpslopeCells == the single-grid kernel with flow paths
+    crossing several tiles."""
+    rng = np.random.default_rng(101)
+    for trial in range(3):
+        dem = priority_flood_fill_epsilon(
+            rng.normal(50, 5, (28, 30)).round(1))
+        dirs = d8_flow_directions(dem)
+        golden = d8_upslope_cells(dirs, 4, 14, 22, 14)
+        for tw, th in ((8, 8), (11, 7)):
+            tr = raster_from_array(spark, dirs, tile_w=tw, tile_h=th)
+            got = UpslopeCells(tr, 4, 14, 22, 14).to_array()
+            assert np.array_equal(got, golden), (trial, tw, th)
