@@ -60,11 +60,11 @@ def main() -> None:
     filled = timed("fill_depressions",
                    lambda: FillDepressions(dem).persist())
     timed("fill_materialize", lambda: filled.df.count())
-    dirs = timed("flow_directions", lambda: FlowDirectionsD8(filled)
-                 .persist())
-    timed("dirs_materialize", lambda: dirs.df.count())
+    from richdem_spark.ops.accum import flow_accumulation_d8_from_elev
+
+    # dirs fused into accumulation round 1 (one halo sweep over filled)
     acc = timed("flow_accumulation",
-                lambda: FlowAccumulationFromDirs(dirs))
+                lambda: flow_accumulation_d8_from_elev(filled))
     timed("accum_materialize", lambda: acc.df.count())
     timed("terrain_slope",
           lambda: TerrainAttribute(filled, "slope_riserun").df.count())
@@ -83,7 +83,6 @@ def main() -> None:
     cells = GRID * GRID
     hydro = (
         timings["fill_depressions"] + timings["fill_materialize"]
-        + timings["flow_directions"] + timings["dirs_materialize"]
         + timings["flow_accumulation"] + timings["accum_materialize"]
     )
     print(json.dumps({

@@ -158,7 +158,8 @@ def _sfd_props_to_dirs_kernel(fm_kernel, fm_kwargs):
 # distributed-exact via the two-round perimeter-graph accumulation; true
 # MFD methods are single-tile fused kernels in v1 (distributed iterative
 # halo propagation is the planned scale path)
-_SFD_METHODS = {"D8", "OCallaghanD8", "Rho8", "FairfieldLeymarieD8"}
+_SFD_METHODS = {"D8", "OCallaghanD8", "Rho8", "FairfieldLeymarieD8",
+                "D4", "OCallaghanD4", "Rho4", "FairfieldLeymarieD4"}
 _MFD_METHODS = {"Quinn", "Holmgren", "Freeman", "Tarboton", "Dinfinity"}
 
 
@@ -169,9 +170,17 @@ def FlowProportions(tr: TiledRaster, method: str = "D8", **params):
 
     if method in ("D8", "OCallaghanD8"):
         kern = _sfd_props_to_dirs_kernel(fmk.fm_ocallaghan, {})
+    elif method in ("D4", "OCallaghanD4"):
+        kern = _sfd_props_to_dirs_kernel(
+            fmk.fm_ocallaghan, {"topology": "D4"})
     elif method in ("Rho8", "FairfieldLeymarieD8"):
         kern = _sfd_props_to_dirs_kernel(
             fmk.fm_fairfield, {"seed": int(params.get("seed", 0))}
+        )
+    elif method in ("Rho4", "FairfieldLeymarieD4"):
+        kern = _sfd_props_to_dirs_kernel(
+            fmk.fm_fairfield,
+            {"seed": int(params.get("seed", 0)), "topology": "D4"},
         )
     else:
         raise KeyError(f"SFD method {method!r} unknown")
@@ -193,7 +202,10 @@ def FlowAccumulation(
     FM_* composition where edge cells have no flow
     (OCallaghan1984.hpp:41-42)."""
     if method == "D8":
-        return flow_accumulation_d8(FlowDirectionsD8(tr))
+        from .ops.accum import flow_accumulation_d8_from_elev
+
+        # dirs pass fused into accumulation round 1 (one halo sweep)
+        return flow_accumulation_d8_from_elev(tr)
     if method in _SFD_METHODS:
         dirs = FlowProportions(tr, method, **params)
         return flow_accumulation_d8(dirs)

@@ -79,14 +79,18 @@ def _downslope_grads(e, nd, power_l=None):
     return grads
 
 
-def fm_ocallaghan(e: np.ndarray, nodata: float | None = None) -> np.ndarray:
-    """D8 SFD proportions: all flow to the lowest strictly-lower data
-    neighbour, first-lowest-wins on ties (OCallaghan1984.hpp:32-87)."""
+def fm_ocallaghan(e: np.ndarray, nodata: float | None = None,
+                  topology: str = "D8") -> np.ndarray:
+    """SFD proportions: all flow to the lowest strictly-lower data
+    neighbour, first-lowest-wins on ties (OCallaghan1984.hpp:32-87);
+    ``topology="D4"`` restricts to cardinal slots (FM_D4/FM_OCallaghan
+    <Topology::D4>, OCallaghan1984.hpp:89-92)."""
     props, nd, interior = _init_props(e, nodata)
     h, w = e.shape
     lowest_elev = np.full((h, w), np.inf)
     lowest_n = np.zeros((h, w), dtype=np.int64)
-    for n in range(1, 9):
+    slots = range(1, 9) if topology == "D8" else (1, 3, 5, 7)
+    for n in slots:
         ne = _shift_plane(e, n, np.inf)
         nnd = _shift_plane(nd.astype(np.float64), n, 1.0) > 0
         cand = (ne < e) & ~nnd & (ne < lowest_elev)
@@ -151,23 +155,31 @@ def _cell_u01(h, w, y0, x0, global_w, seed, salt):
 
 def fm_fairfield(e: np.ndarray, nodata: float | None = None,
                  seed: int = 0, y0: int = 0, x0: int = 0,
-                 global_w: int | None = None) -> np.ndarray:
-    """Rho8: steepest descent with diagonal slopes scaled by
-    1/(2 - U(0,1)) (Fairfield1991.hpp:44-66); seeded per-cell RNG."""
+                 global_w: int | None = None,
+                 topology: str = "D8") -> np.ndarray:
+    """Rho8/Rho4: steepest descent with stochastic slope scaling —
+    D8 diagonals by 1/(2 - U(0,1)), D4 north/south by 1/(1/U - 1)
+    (Fairfield1991.hpp:44-66, Rho4 :93-96); seeded per-cell RNG."""
     props, nd, interior = _init_props(e, nodata)
     h, w = e.shape
     gw = global_w if global_w is not None else w
     best = np.zeros((h, w))
     best_n = np.zeros((h, w), dtype=np.int64)
     ef = e.astype(np.float64)
-    for n in range(1, 9):
+    d8 = topology == "D8"
+    slots = range(1, 9) if d8 else (1, 3, 5, 7)
+    for n in slots:
         ne = _shift_plane(ef, n, np.inf)
         nnd = _shift_plane(nd.astype(np.float64), n, 1.0) > 0
         lower = (ne < ef) & ~nnd
         rho = np.where(lower, ef - ne, 0.0)
-        if N8_DIAG[n]:
+        if d8 and N8_DIAG[n]:
             u = _cell_u01(h, w, y0, x0, gw, seed, n)
             rho = rho * (1.0 / (2.0 - u))
+        elif not d8 and n in (3, 7):  # D4 north/south
+            u = _cell_u01(h, w, y0, x0, gw, seed, n)
+            with np.errstate(divide="ignore"):
+                rho = rho * (1.0 / (1.0 / u - 1.0))
         take = rho > best
         best = np.where(take, rho, best)
         best_n = np.where(take, n, best_n)

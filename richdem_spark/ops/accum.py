@@ -300,6 +300,87 @@ def _solve_perimeter_graph(perim_rows, meta: RasterMeta):
     return entry_offsets
 
 
+def _emit_r1_row(out, r, dirs, acc, nodata):
+    """Shared round-1 row emission: perimeter records + blobs."""
+    ex = exit_cell_of(dirs)
+    h, w = dirs.shape
+    pxs, pys = _perimeter_indices(h, w)
+    flat = pys * w + pxs
+    q = ex[flat]
+    qx = np.where(q >= 0, q % w, -1).astype(np.int64)
+    qy = np.where(q >= 0, q // w, -1).astype(np.int64)
+    d = dirs.ravel()
+    qdir = np.where(q >= 0, d[np.maximum(q, 0)], 0).astype(np.int64)
+    tgt_x = qx + D8X[np.clip(qdir, 0, 8)]
+    tgt_y = qy + D8Y[np.clip(qdir, 0, 8)]
+    exits = (
+        (qdir >= 1) & (qdir <= 8)
+        & ((tgt_x < 0) | (tgt_x >= w) | (tgt_y < 0) | (tgt_y >= h))
+    )
+    qdir = np.where(exits, qdir, 0)
+    valid = (d[flat] != FLOWDIR_NO_DATA).astype(np.int64)
+    out["tile_x"].append(r.tile_x)
+    out["tile_y"].append(r.tile_y)
+    out["width"].append(w)
+    out["height"].append(h)
+    out["dirs"].append(pack(dirs))
+    out["accum"].append(pack(acc))
+    out["nodata"].append(nodata)
+    out["px"].append(pack(pxs.astype(np.int64)))
+    out["py"].append(pack(pys.astype(np.int64)))
+    out["pacc"].append(pack(acc.ravel()[flat].astype(np.float64)))
+    out["qx"].append(pack(qx.astype(np.int64)))
+    out["qy"].append(pack(qy.astype(np.int64)))
+    out["qdir"].append(pack(qdir.astype(np.int64)))
+    out["pvalid"].append(pack(valid.astype(np.int64)))
+
+
+def _round1_from_elev(meta: RasterMeta):
+    """Fused FlowDirectionsD8 + local accumulation: ONE halo pass over
+    the elevation tiles computes the flow directions AND the per-tile
+    accumulation — the reference's per-tile sweep also fuses them
+    (parallel_d8_accum/main.cpp:240-340); saves a full raster
+    materialize + re-shuffle cycle vs dirs-then-accum."""
+    from ..kernels.d8 import d8_flow_directions
+    from ..tiles import assemble_padded
+
+    nodata = meta.nodata
+    fill = nodata if nodata is not None else 0.0
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "tile_x", "tile_y", "width", "height", "dirs", "accum",
+                "nodata", "px", "py", "pacc", "qx", "qy", "qdir", "pvalid")}
+            for r in pdf.itertuples():
+                core = unpack(r.data, r.height, r.width, r.dtype)
+                strips = ([(s["slot"], s["strip"]) for s in r.halo]
+                          if r.halo is not None else [])
+                padded, pt, pl = assemble_padded(core, strips, r.dtype,
+                                                 fill)
+                dirs_p = d8_flow_directions(padded, nodata=nodata)
+                dirs = np.ascontiguousarray(
+                    dirs_p[pt : pt + r.height, pl : pl + r.width]
+                ).astype(np.uint8)
+                acc = d8_flow_accum(dirs)
+                _emit_r1_row(out, r, dirs, acc, float(FLOWDIR_NO_DATA))
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def flow_accumulation_d8_from_elev(elev: TiledRaster) -> TiledRaster:
+    """FA_D8 from elevations with the dirs pass fused into round 1."""
+    from ..tiles import halo_join
+
+    meta = elev.meta
+    spark = elev.df.sparkSession
+    r1 = halo_join(elev).mapInPandas(
+        _round1_from_elev(meta), _R1_SCHEMA
+    ).persist()
+    return _finish_accumulation(r1, meta, spark)
+
+
 def flow_accumulation_d8(
     dirs: TiledRaster, weights: TiledRaster | None = None
 ) -> TiledRaster:
@@ -318,6 +399,10 @@ def flow_accumulation_d8(
         r1 = src.mapInPandas(_round1("column"), _R1_SCHEMA).persist()
     else:
         r1 = dirs.df.mapInPandas(_round1("none"), _R1_SCHEMA).persist()
+    return _finish_accumulation(r1, meta, spark)
+
+
+def _finish_accumulation(r1, meta: RasterMeta, spark) -> TiledRaster:
 
     off_schema = StructType(
         [

@@ -49,9 +49,10 @@ def run_job(cpus: int, out_npy: str, grid: int = GRID,
     filled = FillDepressions(dem).persist()
     filled.df.count()
     t_fill = time.perf_counter()
-    dirs = FlowDirectionsD8(filled).persist()
-    dirs.df.count()
-    acc = FlowAccumulationFromDirs(dirs)
+    from richdem_spark.ops.accum import flow_accumulation_d8_from_elev
+
+    # dirs fused into accumulation round 1 (one halo sweep)
+    acc = flow_accumulation_d8_from_elev(filled)
     if out_npy:
         arr = acc.to_array()  # full gather only when outputs are compared
         t_acc = time.perf_counter()

@@ -112,3 +112,42 @@ def test_perlin_reference_permutation():
     s2 = generate_perlin_terrain(32, seed=9)
     assert np.array_equal(s1, s2)
     assert not np.array_equal(s1, generate_perlin_terrain(32, seed=10))
+
+
+def test_d4_flow_metrics():
+    """FM_D4 / FM_Rho4 (OCallaghan1984.hpp:89-92, Fairfield1991.hpp:
+    93-96): cardinal-only flow, Rho4 scales N/S stochastically but still
+    always drains downhill."""
+    import numpy as np
+    from richdem_spark.kernels.flowmet import fm_fairfield, fm_ocallaghan
+
+    rng = np.random.default_rng(3)
+    e = priority_flood_fill_epsilon(rng.normal(10, 3, (16, 16)))
+    for props in (fm_ocallaghan(e, topology="D4"),
+                  fm_fairfield(e, topology="D4", seed=1)):
+        # diagonals never receive flow
+        assert (props[..., [2, 4, 6, 8]] == 0).all() or (
+            props[..., [2, 4, 6, 8]] <= 0).all()
+        # interior flowing cells drain strictly downhill
+        from richdem_spark.constants import D8X, D8Y
+        h, w = e.shape
+        for n in (1, 3, 5, 7):
+            m = props[..., n] > 0
+            ys, xs = np.nonzero(m)
+            for y, x in zip(ys, xs):
+                assert e[y + D8Y[n], x + D8X[n]] < e[y, x]
+
+
+def test_d4_accumulation_methods(spark):
+    """FA_D4 / FA_Rho4 through the distributed pipeline."""
+    import numpy as np
+    from richdem_spark.api import FillDepressions, FlowAccumulation
+    from richdem_spark.tiles import raster_from_array
+
+    rng = np.random.default_rng(4)
+    dem = rng.standard_normal((24, 24)).cumsum(0).cumsum(1)
+    tr = raster_from_array(spark, dem, tile_w=8, tile_h=8)
+    filled = FillDepressions(tr)
+    for method in ("D4", "OCallaghanD4", "Rho4", "FairfieldLeymarieD4"):
+        acc = FlowAccumulation(filled, method).to_array()
+        assert acc.max() >= 1.0, method
