@@ -20,7 +20,7 @@ system, matching ``methods/d8_methods.hpp:47-139``.
 
 from __future__ import annotations
 
-from collections import defaultdict, deque
+from collections import defaultdict
 from typing import Iterator
 
 import numpy as np
@@ -259,7 +259,11 @@ def _solve_perimeter_graph(perim_rows, meta: RasterMeta):
     )
     succ_exit = np.where(succ_is_exit, succ_exit, -1)
 
-    # Kahn over exit nodes
+    # Kahn over exit nodes — level-synchronous WAVES, fully vectorized:
+    # each wave pops every ready node at once (amount scatter via
+    # np.add.at); wave count = longest cross-tile hop chain, O(tile-grid
+    # diameter), so the driver's serial fraction no longer scales with
+    # the total perimeter (it was the dominant serial term at 8192+)
     exit_index = np.full(n_nodes, -1, dtype=np.int64)
     exit_index[exit_ids] = np.arange(len(exit_ids))
     indeg = np.zeros(len(exit_ids), dtype=np.int64)
@@ -267,35 +271,39 @@ def _solve_perimeter_graph(perim_rows, meta: RasterMeta):
                                                          n_nodes - 1)], -1)
     np.add.at(indeg, se_idx[se_idx >= 0], 1)
     recv = np.zeros(len(exit_ids))
-    entry_offsets: dict[tuple, dict[tuple, float]] = defaultdict(dict)
+    node_off = np.zeros(n_nodes)
 
-    ready = deque(np.flatnonzero(indeg == 0).tolist())
+    ready = np.flatnonzero(indeg == 0)
     done = 0
-    while ready:
-        ei = ready.popleft()
-        done += 1
-        amount = node_la[exit_ids[ei]] + recv[ei]
-        rn = r_nid[ei]
-        if rn >= 0 and amount != 0.0:
-            t2 = (int(ttxy[node_tid[rn], 0]), int(ttxy[node_tid[rn], 1]))
-            key = (int(node_x[rn]), int(node_y[rn]))
-            entry_offsets[t2][key] = (
-                entry_offsets[t2].get(key, 0.0) + amount
-            )
-        # the successor's in-degree must drop even for zero-mass handoffs
-        # (weighted accumulation can carry 0 along a path), else Kahn
-        # starves and a live graph is misreported as a loop
-        e2 = se_idx[ei]
-        if e2 >= 0:
-            if rn >= 0:
-                recv[e2] += amount
-            indeg[e2] -= 1
-            if indeg[e2] == 0:
-                ready.append(int(e2))
+    while ready.size:
+        done += ready.size
+        amounts = node_la[exit_ids[ready]] + recv[ready]
+        rn = r_nid[ready]
+        m = rn >= 0
+        if m.any():
+            np.add.at(node_off, rn[m], amounts[m])
+        se = se_idx[ready]
+        sm = se >= 0
+        if sm.any():
+            # zero-mass handoffs still decrement in-degrees (weighted
+            # accumulation can carry 0 along a path) — else Kahn starves
+            # and a live graph is misreported as a loop
+            np.add.at(recv, se[sm], amounts[sm])
+            np.subtract.at(indeg, se[sm], 1)
+            cand = np.unique(se[sm])
+            ready = cand[indeg[cand] == 0]
+        else:
+            ready = np.empty(0, dtype=np.int64)
     if done != len(exit_ids):
         raise RuntimeError(
             f"cross-tile flow loop detected: {len(exit_ids) - done} "
             "perimeter cells unresolved (cf. rd_loop_check)"
+        )
+    entry_offsets: dict[tuple, dict[tuple, float]] = defaultdict(dict)
+    for nid in np.flatnonzero(node_off != 0.0).tolist():
+        t2 = (int(ttxy[node_tid[nid], 0]), int(ttxy[node_tid[nid], 1]))
+        entry_offsets[t2][(int(node_x[nid]), int(node_y[nid]))] = float(
+            node_off[nid]
         )
     return entry_offsets
 

@@ -94,9 +94,12 @@ _EDGE_SCHEMA = StructType(
 
 
 def _label_stride(meta: RasterMeta) -> int:
-    # max watershed labels per tile = #perimeter cells (each flood seed is a
-    # perimeter cell) + slack
-    return 2 * (meta.tile_w + meta.tile_h) + 8
+    # label namespace per tile.  Terminal-basin labels are bounded by the
+    # number of drain cells = perimeter + NoData-adjacent cells, and the
+    # latter can approach the tile AREA on NoData-dense rasters — size the
+    # stride to the area so tiles can never collide (labels are int64;
+    # a sparse namespace costs nothing)
+    return meta.tile_w * meta.tile_h + 8
 
 
 def _round1(meta: RasterMeta, topology: str, metrics=None):
@@ -206,7 +209,7 @@ def _seam_edges_df(r1, meta: RasterMeta, topology: str):
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            best: dict[tuple[int, int], float] = {}
+            lo_parts, hi_parts, z_parts = [], [], []
             for r in pdf.itertuples():
                 la = np.frombuffer(r.lab_a, dtype=np.int64)
                 lb = np.frombuffer(r.lab_b, dtype=np.int64)
@@ -219,22 +222,30 @@ def _seam_edges_df(r1, meta: RasterMeta, topology: str):
                     l2 = lb[lo + off : hi + off]
                     z = np.maximum(ea[lo:hi], eb[lo + off : hi + off])
                     neq = l1 != l2
-                    for aa, bb, zz in zip(l1[neq], l2[neq], z[neq]):
-                        k = (int(aa), int(bb)) if aa < bb else (
-                            int(bb), int(aa))
-                        if k not in best or zz < best[k]:
-                            best[k] = float(zz)
-            yield pd.DataFrame(
-                {
-                    "a": [k[0] for k in best],
-                    "b": [k[1] for k in best],
-                    "z": list(best.values()),
-                }
-            ) if best else pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"),
-                 "b": pd.Series([], dtype="int64"),
-                 "z": pd.Series([], dtype="float64")}
+                    if neq.any():
+                        lo_parts.append(np.minimum(l1[neq], l2[neq]))
+                        hi_parts.append(np.maximum(l1[neq], l2[neq]))
+                        z_parts.append(z[neq])
+            if not lo_parts:
+                yield pd.DataFrame(
+                    {"a": pd.Series([], dtype="int64"),
+                     "b": pd.Series([], dtype="int64"),
+                     "z": pd.Series([], dtype="float64")})
+                continue
+            # vectorized (a,b)->min(z) reduction: lexsort + reduceat
+            aa = np.concatenate(lo_parts)
+            bb = np.concatenate(hi_parts)
+            zz = np.concatenate(z_parts)
+            order = np.lexsort((bb, aa))
+            aa, bb, zz = aa[order], bb[order], zz[order]
+            starts = np.flatnonzero(
+                np.r_[True, (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])]
             )
+            yield pd.DataFrame({
+                "a": aa[starts],
+                "b": bb[starts],
+                "z": np.minimum.reduceat(zz, starts),
+            })
 
     strip_edges = pairs.mapInPandas(run, _EDGE_SCHEMA)
 

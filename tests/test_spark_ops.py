@@ -226,3 +226,22 @@ def test_executor_side_graph_solves(spark, monkeypatch):
     assert np.array_equal(got_fill, golden_fill)
     got_acc = FlowAccumulation(FillDepressions(tr), "D8").to_array()
     assert np.array_equal(got_acc, golden_acc)
+
+
+def test_fill_nodata_dense_label_namespace(spark):
+    """NoData-dense tiles mint one terminal label per NoData-adjacent
+    drain root — the per-tile label namespace must hold them without
+    cross-tile collisions (stride regression test)."""
+    from richdem_spark.api import FillDepressions
+    from richdem_spark.kernels.fill import priority_flood_fill_pq
+    from richdem_spark.tiles import raster_from_array
+
+    rng = np.random.default_rng(5150)
+    dem = rng.integers(0, 30, (40, 44)).astype(np.float64)
+    dem[rng.random(dem.shape) < 0.35] = -9.0
+    golden = priority_flood_fill_pq(dem, -9.0)
+    for tw, th in ((8, 8), (13, 11)):
+        tr = raster_from_array(spark, dem, tile_w=tw, tile_h=th,
+                               nodata=-9.0)
+        assert np.array_equal(FillDepressions(tr).to_array(), golden), \
+            (tw, th)
