@@ -351,11 +351,24 @@ def assemble_padded(
 def halo_join(tr: TiledRaster) -> DataFrame:
     """Tile rows augmented with a ``halo`` array column of (slot, strip)
     structs.  ONE shuffle of O(perimeter) strip data; the tile interiors
-    ride along via a co-partitioned join on the tile key."""
+    NEVER shuffle: the packed strips are broadcast (Catalyst has no
+    stats for the aggregated strips and would otherwise pick a
+    SortMergeJoin that exchanges every tile blob — the dominant hidden
+    cost of every focal op).  Above the broadcast budget the join falls
+    back to the shuffle plan; at that scale bucketed tile tables are the
+    production answer (SURVEY.md §4)."""
+    meta = tr.meta
     strips = tr.df.mapInPandas(_emit_halo_strips(tr.meta), _HALO_SCHEMA)
     packed = strips.groupBy("tile_x", "tile_y").agg(
         F.collect_list(F.struct("slot", "strip")).alias("halo")
     )
+    # strips ~= 2 rings of perimeter cells at 8B + struct overhead
+    perim_bytes = (
+        meta.ntiles_x * meta.ntiles_y * 2 * (meta.tile_w + meta.tile_h)
+        * 8 * 4
+    )
+    if perim_bytes <= 256 * 1024 * 1024:
+        packed = F.broadcast(packed)
     return tr.df.join(packed, ["tile_x", "tile_y"], "left")
 
 
