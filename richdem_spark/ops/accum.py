@@ -191,9 +191,6 @@ def _solve_perimeter_graph(perim_rows, meta: RasterMeta):
     exit_nid = np.where(
         has_route, base[tid] + _serial_of(qx, qy, w_t, h_t), -1
     )
-    is_exit_cell = np.zeros(base[-1], dtype=bool)
-    exits_mask = ok & (qd != 0)
-    is_exit_cell[exit_nid[exits_mask]] = True
 
     # handoff target of each EXIT cell (vectorized over all cells; only
     # meaningful where qd != 0 at the cell itself)
