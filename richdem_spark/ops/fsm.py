@@ -44,6 +44,9 @@ from .accum import flow_accumulation_d8
 from .dephier import build_outlet_chains, depression_hierarchy
 
 _N_BUCKETS = 4096
+# crossing buckets holding more values than this are re-bucketed instead
+# of collected (tests patch this down to force deep refinement chains)
+COLLECT_CAP = 500_000
 
 
 def _leaf_water(acc: TiledRaster, labels: TiledRaster,
@@ -246,84 +249,117 @@ def fill_spill_merge(
         return np.clip(((e - lo) / wdt).astype(np.int64), 0,
                        _N_BUCKETS - 1)
 
-    def pass2(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cdv, cpv, fov = bc.value
-        lo_d, w_d = bc2.value
-        for pdf in it:
-            rows = {"fn": [], "bkt": [], "cnt": [], "se": []}
-            for r in pdf.itertuples():
-                h, w = r.height, r.width
-                lab = unpack(r.labdata, h, w, "int64").ravel()
-                elev = unpack(r.data, h, w, r.dtype).astype(
-                    np.float64).ravel()
-                fn = fn_of(lab, elev, cdv, cpv, fov)
-                m = fn >= 0
-                if not m.any():
-                    continue
-                f = fn[m]
-                e = elev[m]
-                bkt = np.zeros(e.size, dtype=np.int64)
-                for ff in np.unique(f).tolist():
-                    if ff not in lo_d:
+    def make_pass2(filters_bc):
+        def pass2(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cdv, cpv, fov = bc.value
+            filt = filters_bc.value  # {fn: [(lo, wdt, bkt or None)]}
+            for pdf in it:
+                rows = {"fn": [], "bkt": [], "cnt": [], "se": []}
+                for r in pdf.itertuples():
+                    h, w = r.height, r.width
+                    lab = unpack(r.labdata, h, w, "int64").ravel()
+                    elev = unpack(r.data, h, w, r.dtype).astype(
+                        np.float64).ravel()
+                    fn = fn_of(lab, elev, cdv, cpv, fov)
+                    m = fn >= 0
+                    if not m.any():
                         continue
-                    sel = f == ff
-                    bkt[sel] = bucket_of(ff, e[sel], lo_d[ff], w_d[ff])
-                key = f * _N_BUCKETS + bkt
-                order = np.argsort(key, kind="stable")
-                k, e2 = key[order], e[order]
-                starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-                ks = k[starts]
-                rows["fn"].extend((ks // _N_BUCKETS).tolist())
-                rows["bkt"].extend((ks % _N_BUCKETS).tolist())
-                rows["cnt"].extend(
-                    np.diff(np.r_[starts, len(k)]).tolist())
-                rows["se"].extend(np.add.reduceat(e2, starts).tolist())
-            if rows["fn"]:
-                yield pd.DataFrame(rows)
+                    f = fn[m]
+                    e = elev[m]
+                    for ff in np.unique(f).tolist():
+                        chain = filt.get(ff)
+                        if chain is None:
+                            continue
+                        sel = f == ff
+                        ev = e[sel]
+                        # earlier levels narrow the scope exactly by
+                        # their crossing bucket (clip semantics kept)
+                        for lo_c, w_c, b_c in chain[:-1]:
+                            ev = ev[bucket_of(ff, ev, lo_c, w_c) == b_c]
+                        lo_c, w_c, _ = chain[-1]
+                        if ev.size == 0:
+                            continue
+                        bkt = bucket_of(ff, ev, lo_c, w_c)
+                        order = np.argsort(bkt, kind="stable")
+                        k, e2 = bkt[order], ev[order]
+                        starts = np.flatnonzero(
+                            np.r_[True, k[1:] != k[:-1]])
+                        rows["fn"].extend([ff] * len(starts))
+                        rows["bkt"].extend(k[starts].tolist())
+                        rows["cnt"].extend(
+                            np.diff(np.r_[starts, len(k)]).tolist())
+                        rows["se"].extend(
+                            np.add.reduceat(e2, starts).tolist())
+                if rows["fn"]:
+                    yield pd.DataFrame(rows)
 
-    hist: dict[int, dict[int, tuple]] = {}
-    for r in (cells.mapInPandas(pass2, s2).groupBy("fn", "bkt").agg(
-            F.sum("cnt").alias("cnt"), F.sum("se").alias("se"))
-            .collect()):
-        hist.setdefault(int(r.fn), {})[int(r.bkt)] = (int(r.cnt),
-                                                      float(r.se))
+        return pass2
 
-    # ---- driver: locate the crossing bucket per flood node --------------
-    # V(E) = E*cnt_below(E) - sum_below(E) is monotone; find the bucket
-    # whose upper edge first satisfies V >= total
-    crossing: dict[int, int] = {}
-    below: dict[int, tuple] = {}   # (cnt, sum) strictly below the bucket
+    # ---- driver: locate the crossing bucket per flood node, refining
+    # the histogram within the crossing bucket while it holds more cells
+    # than the collect cap (unknown-depth floods stay O(log) passes) ----
+    crossing: dict[int, list] = {}   # fn -> filter chain incl. crossing
+    below: dict[int, tuple] = {}     # (cnt, sum) strictly below
     levels: dict[int, float] = {}
+    pending: dict[int, list] = {}
     for f in fns:
         if f not in stats:
             continue
-        total = totals[f]
         lo, wdt = rng_lo[f], rng_w[f]
         if wdt <= 0:
             # all flooded cells share one elevation: closed form
-            levels[f] = lo + total / stats[f][0]
+            levels[f] = lo + totals[f] / stats[f][0]
             continue
-        cnt_b, sum_b = 0, 0.0
-        hs = hist.get(f, {})
-        found = False
-        for b in range(_N_BUCKETS):
-            edge_hi = lo + (b + 1) * wdt
-            c, s = hs.get(b, (0, 0.0))
-            v_hi = edge_hi * (cnt_b + c) - (sum_b + s)
-            if v_hi >= total:
-                crossing[f] = b
-                below[f] = (cnt_b, sum_b)
-                found = True
-                break
-            cnt_b += c
-            sum_b += s
-        if not found:
-            # water exceeds the top edge: level above all cells
-            cnt_all, sum_all = stats[f][0], stats[f][1]
-            levels[f] = (sum_all + total) / cnt_all
+        pending[f] = [(lo, wdt, None)]
+        below[f] = (0, 0.0)
 
-    # ---- pass 3: exact values within each crossing bucket ---------------
-    bc3 = spark.sparkContext.broadcast((crossing, rng_lo, rng_w))
+    depth = 0
+    while pending and depth < 6:
+        depth += 1
+        filters_bc = spark.sparkContext.broadcast(dict(pending))
+        hist: dict[int, dict[int, tuple]] = {}
+        for r in (cells.mapInPandas(make_pass2(filters_bc), s2)
+                  .groupBy("fn", "bkt")
+                  .agg(F.sum("cnt").alias("cnt"), F.sum("se").alias("se"))
+                  .collect()):
+            hist.setdefault(int(r.fn), {})[int(r.bkt)] = (
+                int(r.cnt), float(r.se))
+        nxt_pending: dict[int, list] = {}
+        for f, chain in pending.items():
+            total = totals[f]
+            lo, wdt, _ = chain[-1]
+            cnt_b, sum_b = below[f]
+            hs = hist.get(f, {})
+            hit = None
+            for b in range(_N_BUCKETS):
+                edge_hi = lo + (b + 1) * wdt
+                c, s = hs.get(b, (0, 0.0))
+                v_hi = edge_hi * (cnt_b + c) - (sum_b + s)
+                if v_hi >= total:
+                    hit = (b, c)
+                    break
+                cnt_b += c
+                sum_b += s
+            below[f] = (cnt_b, sum_b)
+            if hit is None:
+                # water exceeds the top edge: level above all cells
+                cnt_all, sum_all = stats[f][0], stats[f][1]
+                levels[f] = (sum_all + total) / cnt_all
+                continue
+            b, c = hit
+            done_chain = chain[:-1] + [(lo, wdt, b)]
+            sub_w = wdt / _N_BUCKETS
+            if c > COLLECT_CAP and sub_w > 0:
+                nxt_pending[f] = done_chain + [(lo + b * wdt, sub_w, None)]
+            else:
+                crossing[f] = done_chain
+        pending = nxt_pending
+    for f, chain in pending.items():
+        # depth cap reached: accept collecting the last resolved bucket
+        crossing[f] = chain[:-1]
+
+    # ---- pass 3: exact values within each crossing-bucket chain ---------
+    bc3 = spark.sparkContext.broadcast(dict(crossing))
     s3 = StructType([
         StructField("fn", LongType(), False),
         StructField("e", DoubleType(), False),
@@ -331,7 +367,7 @@ def fill_spill_merge(
 
     def pass3(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cdv, cpv, fov = bc.value
-        cross, lo_d, w_d = bc3.value
+        cross = bc3.value
         for pdf in it:
             fns_o, es_o = [], []
             for r in pdf.itertuples():
@@ -346,13 +382,14 @@ def fill_spill_merge(
                 f = fn[m]
                 e = elev[m]
                 for ff in np.unique(f).tolist():
-                    if ff not in cross:
+                    chain = cross.get(ff)
+                    if not chain:
                         continue
-                    sel = f == ff
-                    b = bucket_of(ff, e[sel], lo_d[ff], w_d[ff])
-                    inb = b == cross[ff]
-                    if inb.any():
-                        vals = e[sel][inb]
+                    vals = e[f == ff]
+                    for lo_c, w_c, b_c in chain:
+                        vals = vals[
+                            bucket_of(ff, vals, lo_c, w_c) == b_c]
+                    if vals.size:
                         fns_o.append(np.full(vals.size, ff,
                                              dtype=np.int64))
                         es_o.append(vals)

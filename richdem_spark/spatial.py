@@ -224,3 +224,120 @@ def pair_points_with_raster(
             yield out
 
     return joined.mapInPandas(sample, schema)
+
+
+# ---------------------------------------------------------------------------
+# kNN at scale: cell-ring expansion (non-broadcastable site tables)
+# ---------------------------------------------------------------------------
+
+def knn_join_cells(
+    points: DataFrame,            # (…, lat, lon)
+    sites: DataFrame,             # (site_id, lat, lon) — may be huge
+    k: int = 3,
+    level: int = 6,
+    rings: tuple = (1, 4, 16),
+    point_id_col: str = "url",
+    site_id_col: str = "site_id",
+) -> DataFrame:
+    """k nearest sites per point for site tables too large to broadcast.
+
+    Both sides key by the level-``level`` index cell; sites are exploded
+    into all cells within Chebyshev ring R of their own (site padding),
+    so a plain cell equi-join yields every candidate within R rings.  A
+    point SETTLES when it has >= k candidates whose k-th distance is at
+    most R * cell_height — cells beyond ring R are provably farther, so
+    the top-k is final.  Unsettled points retry with the next larger R;
+    the (tiny) pathological remainder finishes against the full site
+    table.  Ties break on (distance, site_id), identical to the
+    broadcast ``knn_join``."""
+    cell_h = 180.0 / (1 << level)
+
+    # JVM cell key (no per-row python): replicate cell_id's binning
+    n_cells = 1 << level
+    bx = F.least(
+        F.lit(n_cells - 1),
+        F.floor((F.col("lon") + 180.0) / 360.0 * n_cells),
+    ).cast("long")
+    by = F.least(
+        F.lit(n_cells - 1),
+        F.floor((F.col("lat") + 90.0) / 180.0 * n_cells),
+    ).cast("long")
+    # Morton interleave is unnecessary for the equi-join: (bx, by) IS the
+    # cell key
+    pts = points.select(
+        F.col(point_id_col).alias("point_id"), "lat", "lon",
+        bx.alias("cx"), by.alias("cy"),
+    )
+    st = sites.select(
+        F.col(site_id_col).alias("site_id"),
+        F.col("lat").alias("slat"), F.col("lon").alias("slon"),
+        bx.alias("scx"), by.alias("scy"),
+    )
+
+    out_parts = []
+    remaining = pts
+    w_rank = None
+    from pyspark.sql.window import Window
+
+    for ring in rings:
+        if remaining.rdd.isEmpty():
+            break
+        offs = [(dx, dy) for dx in range(-ring, ring + 1)
+                for dy in range(-ring, ring + 1)]
+        off_df = remaining.sparkSession.createDataFrame(
+            offs, "dx int, dy int")
+        padded = (
+            st.crossJoin(F.broadcast(off_df))
+            .select(
+                "site_id", "slat", "slon",
+                (F.col("scx") + F.col("dx")).alias("cx"),
+                (F.col("scy") + F.col("dy")).alias("cy"),
+            )
+            .where((F.col("cx") >= 0) & (F.col("cx") < n_cells)
+                   & (F.col("cy") >= 0) & (F.col("cy") < n_cells))
+        )
+        cand = remaining.join(padded, ["cx", "cy"]).withColumn(
+            "dist_deg",
+            F.sqrt((F.col("lat") - F.col("slat")) ** 2
+                   + (F.col("lon") - F.col("slon")) ** 2),
+        )
+        w_rank = Window.partitionBy("point_id").orderBy(
+            "dist_deg", "site_id")
+        ranked = cand.withColumn("rank", F.row_number().over(w_rank)) \
+            .where(F.col("rank") <= k)
+        stats = ranked.groupBy("point_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("dist_deg").alias("dk"),
+        )
+        settled_ids = stats.where(
+            (F.col("n") >= k) & (F.col("dk") <= ring * cell_h)
+        ).select("point_id")
+        out_parts.append(
+            ranked.join(F.broadcast(settled_ids), "point_id", "left_semi")
+            .select("point_id", "site_id", "rank", "dist_deg")
+        )
+        remaining = remaining.join(
+            F.broadcast(settled_ids), "point_id", "left_anti"
+        )
+
+    # pathological remainder: full join (tiny left side by construction)
+    if not remaining.rdd.isEmpty():
+        cand = remaining.crossJoin(
+            st.select("site_id", "slat", "slon")
+        ).withColumn(
+            "dist_deg",
+            F.sqrt((F.col("lat") - F.col("slat")) ** 2
+                   + (F.col("lon") - F.col("slon")) ** 2),
+        )
+        w_rank = Window.partitionBy("point_id").orderBy(
+            "dist_deg", "site_id")
+        out_parts.append(
+            cand.withColumn("rank", F.row_number().over(w_rank))
+            .where(F.col("rank") <= k)
+            .select("point_id", "site_id", "rank", "dist_deg")
+        )
+
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -249,3 +249,20 @@ def test_weighted_accum_zero_mass_paths(spark):
     wr = raster_from_array(spark, w, tile_w=8, tile_h=8)
     got = FlowAccumulationFromDirs(dr, weights=wr).to_array()
     assert np.array_equal(got, golden)
+
+
+def test_distributed_fsm_bucket_refinement(spark, monkeypatch):
+    """Forcing the histogram-refinement recursion (collect cap 1) must
+    not change the water table."""
+    import richdem_spark.ops.fsm as fsm_mod
+    from richdem_spark.tiles import raster_from_array
+
+    dem = _tiefree(61, 20, 28)
+    rng = np.random.default_rng(62)
+    wtd = np.maximum(rng.standard_normal(dem.shape), 0.0) * 2
+    tr = raster_from_array(spark, dem, tile_w=9, tile_h=8)
+    twr = raster_from_array(spark, wtd, tile_w=9, tile_h=8)
+    gold = fsm_mod.fill_spill_merge(tr, twr).to_array()
+    monkeypatch.setattr(fsm_mod, "COLLECT_CAP", 1)
+    got = fsm_mod.fill_spill_merge(tr, twr).to_array()
+    assert np.allclose(got, gold, atol=1e-9)

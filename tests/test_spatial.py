@@ -114,3 +114,30 @@ def test_pair_points_with_raster(spark):
     assert len(rows) == 500
     # every page's cell contains at least itself
     assert all(r.cell_count >= 1 for r in rows)
+
+
+def test_knn_cell_ring_matches_broadcast(spark):
+    """Cell-ring kNN (non-broadcastable-sites scale path) must equal the
+    broadcast kNN including the (distance, site_id) tie rule."""
+    import pandas as pd
+    from richdem_spark.spatial import knn_join, knn_join_cells
+
+    rng = np.random.default_rng(12)
+    npts, nsites = 300, 40
+    pts = pd.DataFrame({
+        "url": [f"u{i}" for i in range(npts)],
+        "lat": rng.uniform(-60, 60, npts).round(4),
+        "lon": rng.uniform(-170, 170, npts).round(4),
+    })
+    sites = [(int(i), round(float(rng.uniform(-60, 60)), 4),
+              round(float(rng.uniform(-170, 170)), 4))
+             for i in range(nsites)]
+    pdf = spark.createDataFrame(pts)
+    sdf = spark.createDataFrame(
+        [(s[0], s[1], s[2]) for s in sites],
+        "site_id long, lat double, lon double")
+    gold = {(r.point_id, r.rank): (r.site_id, round(r.dist_deg, 9))
+            for r in knn_join(pdf, sites, k=3).collect()}
+    got = {(r.point_id, r.rank): (r.site_id, round(r.dist_deg, 9))
+           for r in knn_join_cells(pdf, sdf, k=3, level=4).collect()}
+    assert got == gold
