@@ -177,6 +177,30 @@ def q_knn_sites(spark, sf_dir):
     )
 
 
+def q_knn_sites_cells(spark, sf_dir):
+    """Same kNN result through the cell-ring expansion scale path
+    (spatial.knn_join_cells) — the variant for site tables too large to
+    broadcast; value-checked against the identical DuckDB oracle."""
+    from richdem_spark.spatial import knn_join_cells
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id"), F.expr(LAT).alias("lat"), F.expr(LON).alias("lon")
+    )
+    sites = _tbl(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("site_id"),
+        F.expr(SLAT).alias("lat"),
+        F.expr(SLON).alias("lon"),
+    )
+    out = knn_join_cells(docs, sites, k=3, level=4,
+                         point_id_col="doc_id")
+    return out.select(
+        F.col("point_id").cast("long").alias("doc_id"),
+        "site_id",
+        F.col("rank").cast("long"),
+        F.round(F.col("dist_deg") ** 2, 6).cast("double").alias("d2"),
+    )
+
+
 def q_raster_vector_pair(spark, sf_dir):
     """raster<->vector pairing: each doc joined with the page count of the
     raster cell beneath it."""
@@ -522,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_compare": q_raster_compare,
         "pip_assign": q_pip_assign,
         "knn_sites": q_knn_sites,
+        "knn_sites_cells": q_knn_sites_cells,
         "raster_vector_pair": q_raster_vector_pair,
         "flow_accum_dirs": q_flow_accum_dirs,
         "fill_accum_demo": q_fill_accum_demo,
@@ -627,6 +652,29 @@ def oracle_sql() -> dict[str, str]:
             group by r_regionkey
         """,
         "knn_sites": f"""
+            with docs as (
+                select doc_id, {LAT} as lat, {LON} as lon from documents
+            ), sites as (
+                select n_nationkey::bigint as site_id,
+                       {SLAT} as slat, {SLON} as slon
+                from nation
+            ), j as (
+                select doc_id, site_id,
+                       (lat - slat) * (lat - slat)
+                       + (lon - slon) * (lon - slon) as d2
+                from docs, sites
+            ), r as (
+                select doc_id, site_id, d2,
+                       row_number() over (
+                           partition by doc_id order by d2 asc, site_id asc
+                       ) as rank
+                from j
+            )
+            select doc_id::bigint as doc_id, site_id, rank::bigint as rank,
+                   round(d2, 6)::double as d2
+            from r where rank <= 3
+        """,
+        "knn_sites_cells": f"""
             with docs as (
                 select doc_id, {LAT} as lat, {LON} as lon from documents
             ), sites as (
