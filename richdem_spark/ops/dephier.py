@@ -269,39 +269,39 @@ def _wave_a(meta: RasterMeta, topology: str):
 
 
 def _resolve_hops(border_rows):
-    """Path-compress border-cell hop chains.  Chains strictly decrease
-    (elev, gidx), hence terminate.  Returns {border gidx: final encoded
-    terminal (root/ocean)}."""
-    route: dict[int, int] = {}
-    for r in border_rows:
-        bg = np.frombuffer(r.bg, dtype=np.int64)
-        bt = np.frombuffer(r.bt, dtype=np.int64)
-        route.update(zip(bg.tolist(), bt.tolist()))
-    resolved: dict[int, int] = {}
+    """Resolve border-cell hop chains to their terminals by vectorized
+    pointer doubling over the global border-cell table (log(longest
+    chain) rounds of fancy indexing — no per-cell Python; chains
+    strictly decrease (elev, gidx), hence terminate).  Returns
+    {border gidx: final encoded terminal (root/ocean)}."""
+    bgs = [np.frombuffer(r.bg, dtype=np.int64) for r in border_rows]
+    bts = [np.frombuffer(r.bt, dtype=np.int64) for r in border_rows]
+    if not bgs:
+        return {}
+    bg = np.concatenate(bgs)
+    bt = np.concatenate(bts)
+    order = np.argsort(bg)
+    bg, bt = bg[order], bt[order]
 
-    def resolve(g):
-        chain = []
-        cur = g
-        while True:
-            if cur in resolved:
-                t = resolved[cur]
-                break
-            t = route[cur]
-            if t == _OCEAN_ENC:
-                break
-            tg, kind = _dec(t)
-            if kind == 0:
-                break
-            chain.append(cur)
-            cur = tg
-        for c in chain:
-            resolved[c] = t
-        resolved[g] = t
-        return t
-
-    for g in list(route):
-        resolve(g)
-    return resolved
+    val = bt.copy()
+    idx = np.arange(len(bg))
+    g, kind = _dec(val)
+    is_hop = (val != _OCEAN_ENC) & (kind == 1)
+    ptr = idx.copy()
+    if is_hop.any():
+        pos = np.searchsorted(bg, g[is_hop])
+        ptr[is_hop] = np.clip(pos, 0, len(bg) - 1)
+    while True:
+        gv, kv = _dec(val)
+        hop = (val != _OCEAN_ENC) & (kv == 1)
+        if not hop.any():
+            break
+        nval = np.where(hop, val[ptr], val)
+        ptr = ptr[ptr]
+        if np.array_equal(nval, val):
+            raise RuntimeError("unresolvable hop chain (cycle?)")
+        val = nval
+    return dict(zip(bg.tolist(), val.tolist()))
 
 
 _B_SCHEMA = StructType(
