@@ -31,8 +31,6 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
-    LongType,
-    StringType,
     StructField,
     StructType,
 )

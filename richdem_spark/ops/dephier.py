@@ -55,12 +55,11 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
 
-from ..constants import D8X, D8Y, NO_FLOW, TOPO_D8
+from ..constants import D8X, D8Y, TOPO_D8
 from ..kernels.dephier import (
     NO_VALUE,
     OCEAN,

@@ -24,7 +24,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .spatial_index import cell_id, cell_to_xy, lonlat_to_bins
+from .spatial_index import cell_id, cell_to_xy, lonlat_to_bins  # noqa: F401 (public re-exports)
 from .tiles import TiledRaster, unpack
 
 
