@@ -160,13 +160,14 @@ def knn_join(
             d2 = (lat - sarr[None, :, 0]) ** 2 + (
                 lon - sarr[None, :, 1]) ** 2
             kuse = min(kk, d2.shape[1])
-            part = np.argpartition(d2, kuse - 1, axis=1)[:, :kuse]
             rows = {"point_id": [], "site_id": [], "rank": [],
                     "dist_deg": []}
             for r in range(d2.shape[0]):
-                # deterministic ties: sort by (distance, site_id)
-                order = part[r][np.lexsort((sids[part[r]],
-                                            d2[r][part[r]]))]
+                # deterministic ties: full (distance, site_id) sort.  An
+                # argpartition prefilter is NOT tie-safe: candidates tied
+                # at the k-th distance get picked arbitrarily, dropping
+                # the smaller site_id the tie rule promises.
+                order = np.lexsort((sids, d2[r]))[:kuse]
                 for rank, j in enumerate(order):
                     rows["point_id"].append(pdf[point_id_col].iloc[r])
                     rows["site_id"].append(int(sids[j]))
@@ -280,7 +281,7 @@ def knn_join_cells(
     from pyspark.sql.window import Window
 
     for ring in rings:
-        if remaining.rdd.isEmpty():
+        if remaining.isEmpty():
             break
         offs = [(dx, dy) for dx in range(-ring, ring + 1)
                 for dy in range(-ring, ring + 1)]
@@ -309,19 +310,27 @@ def knn_join_cells(
             F.count(F.lit(1)).alias("n"),
             F.max("dist_deg").alias("dk"),
         )
+        # Strict inequality: a site exactly at Chebyshev distance
+        # ring*cell_h (adjacent cell edge in the latitude direction) can
+        # lie just outside the explored rings; at equality a tied site
+        # with smaller site_id could be wrongly excluded, violating the
+        # (distance, site_id) tie rule of the broadcast knn_join.
         settled_ids = stats.where(
-            (F.col("n") >= k) & (F.col("dk") <= ring * cell_h)
+            (F.col("n") >= k) & (F.col("dk") < ring * cell_h)
         ).select("point_id")
+        # NO forced broadcast here: at scale MOST points settle in ring 1,
+        # so settled_ids is proportional to the full point table —
+        # broadcasting it is an executor-OOM risk at 100 TB.  Left to
+        # AQE, these are shuffle joins on point_id (or runtime broadcasts
+        # when stats say the side really is small).
         out_parts.append(
-            ranked.join(F.broadcast(settled_ids), "point_id", "left_semi")
+            ranked.join(settled_ids, "point_id", "left_semi")
             .select("point_id", "site_id", "rank", "dist_deg")
         )
-        remaining = remaining.join(
-            F.broadcast(settled_ids), "point_id", "left_anti"
-        )
+        remaining = remaining.join(settled_ids, "point_id", "left_anti")
 
     # pathological remainder: full join (tiny left side by construction)
-    if not remaining.rdd.isEmpty():
+    if not remaining.isEmpty():
         cand = remaining.crossJoin(
             st.select("site_id", "slat", "slon")
         ).withColumn(
@@ -337,6 +346,19 @@ def knn_join_cells(
             .select("point_id", "site_id", "rank", "dist_deg")
         )
 
+    if not out_parts:
+        # empty points input: every branch above was skipped
+        spark = points.sparkSession
+        return spark.createDataFrame(
+            [],
+            StructType([
+                StructField("point_id",
+                            points.schema[point_id_col].dataType, True),
+                StructField("site_id", LongType(), True),
+                StructField("rank", IntegerType(), False),
+                StructField("dist_deg", DoubleType(), True),
+            ]),
+        )
     out = out_parts[0]
     for p in out_parts[1:]:
         out = out.unionByName(p)
