@@ -621,39 +621,16 @@ def DepressionVolumes(tr: TiledRaster, deps, labels: TiledRaster):
 
     import numpy as np
 
-    # Precompute, per leaf depression, its ancestor chain and the
-    # *prefix max* of outlet elevations along it.  The reference's
-    # per-cell climb ("walk up until elevation clears the outlet",
-    # depression_hierarchy.hpp:792-868) stops at the FIRST ancestor
-    # with out_elev >= e — which over the prefix-max sequence (monotone
-    # by construction) is a single vectorized searchsorted per cell.
-    n = len(deps)
-    parent = np.array([d.parent for d in deps], dtype=np.int64)
-    out_elev = np.array(
-        [d.out_elev if np.isfinite(d.out_elev) else np.inf for d in deps]
-    )
-    ocean_parent = np.array([d.ocean_parent for d in deps], dtype=bool)
-    chains = []
-    for i in range(n):
-        chain = []
-        c = i
-        while c != 0:
-            chain.append(c)
-            if ocean_parent[c]:
-                break
-            c = int(parent[c])
-        chains.append(chain)
-    depth = max((len(c) for c in chains), default=0) or 1
-    chain_dep = np.zeros((n, depth), dtype=np.int64)
-    chain_pm = np.full((n, depth), np.inf)
-    for i, chain in enumerate(chains):
-        if not chain:
-            continue
-        oe = np.maximum.accumulate(out_elev[chain])
-        chain_dep[i, : len(chain)] = chain
-        chain_pm[i, : len(chain)] = oe
+    # Binary-lifting climb tables (O(n log n), not the dense O(n^2)
+    # chain matrix): the reference's per-cell walk ("walk up until
+    # elevation clears the outlet", depression_hierarchy.hpp:792-868)
+    # stops at the FIRST ancestor with prefix-max out_elev >= e, which
+    # climb_outlet_chains answers with a vectorized binary descent.
+    from .ops.dephier import build_outlet_chains, climb_outlet_chains
+
+    chain_anc, chain_pm = build_outlet_chains(deps)
     spark = tr.df.sparkSession
-    b = spark.sparkContext.broadcast((chain_dep, chain_pm))
+    b = spark.sparkContext.broadcast((chain_anc, chain_pm))
 
     cells = tr.cells().withColumnRenamed("value", "elev")
     labs = labels.cells().withColumnRenamed("value", "label")
@@ -667,11 +644,7 @@ def DepressionVolumes(tr: TiledRaster, deps, labels: TiledRaster):
         cd, pm = b.value
         lab = label.to_numpy().astype(np.int64)
         el = elev.to_numpy()
-        # first chain slot whose prefix-max outlet >= e (0-pad -> dep 0)
-        idx = (pm[lab] < el[:, None]).sum(axis=1)
-        hit = idx < cd.shape[1]
-        out = np.where(hit, cd[lab, np.minimum(idx, cd.shape[1] - 1)], 0)
-        return pd.Series(out)
+        return pd.Series(climb_outlet_chains(cd, pm, lab, el))
 
     return (
         joined.withColumn("dep", containing_dep("label", "elev"))

@@ -569,33 +569,55 @@ def _seam_outlets(b_df, meta: RasterMeta, topology: str):
 
 
 def build_outlet_chains(deps):
-    """Per-leaf ancestor chains + prefix-max outlet elevations for the
-    vectorized marginal-volume / containing-depression climb
-    (depression_hierarchy.hpp:792-868)."""
+    """Binary-lifting tables for the containing-depression climb
+    (depression_hierarchy.hpp:792-868).
+
+    The reference's per-cell walk stops at the FIRST chain node whose
+    prefix-max outlet elevation >= the cell elevation.  A dense
+    (n_deps x max_chain_depth) matrix answers that with one searchsorted
+    but costs O(n^2) memory on monotone saddle valley-chains (depth
+    O(n)); these tables cost O(n log n) and answer the same query with a
+    vectorized greedy binary descent (:func:`climb_outlet_chains`).
+
+    Returns ``(anc, pm)`` of shape (L, n+1): ``anc[k][c]`` = chain node
+    reached after skipping the 2^k nodes starting at ``c`` (inclusive);
+    ``pm[k][c]`` = max outlet elevation over those 2^k nodes.  Node
+    ``n`` is the terminal sentinel (out_elev +inf, self-loop); the
+    ocean (dep 0) also carries +inf so climbs from it return 0.
+    """
     n = len(deps)
-    chains = []
-    for i in range(n):
-        chain = []
-        c = i
-        while c != OCEAN and c != NO_VALUE:
-            chain.append(c)
-            if deps[c].ocean_parent:
-                break
-            c = deps[c].parent
-        chains.append(chain)
-    depth = max((len(c) for c in chains), default=0) or 1
-    chain_dep = np.zeros((n, depth), dtype=np.int64)
-    chain_pm = np.full((n, depth), np.inf)
-    for i, chain in enumerate(chains):
-        if not chain:
-            continue
-        oe = np.array([
-            deps[c].out_elev if np.isfinite(deps[c].out_elev) else np.inf
-            for c in chain
-        ])
-        chain_dep[i, : len(chain)] = chain
-        chain_pm[i, : len(chain)] = np.maximum.accumulate(oe)
-    return chain_dep, chain_pm
+    oe = np.full(n + 1, np.inf)
+    nxt = np.full(n + 1, n, dtype=np.int64)
+    for i in range(1, n):
+        d = deps[i]
+        if np.isfinite(d.out_elev):
+            oe[i] = d.out_elev
+        p = d.parent
+        if not d.ocean_parent and p not in (OCEAN, NO_VALUE):
+            nxt[i] = p
+    levels = max(1, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    anc = np.empty((levels, n + 1), dtype=np.int64)
+    pm = np.empty((levels, n + 1))
+    anc[0] = nxt
+    pm[0] = oe
+    for k in range(1, levels):
+        anc[k] = anc[k - 1][anc[k - 1]]
+        pm[k] = np.maximum(pm[k - 1], pm[k - 1][anc[k - 1]])
+    return anc, pm
+
+
+def climb_outlet_chains(anc: np.ndarray, pm: np.ndarray,
+                        leaf: np.ndarray, e: np.ndarray) -> np.ndarray:
+    """Vectorized climb: first chain node (starting at ``leaf``,
+    inclusive) whose prefix-max outlet elevation >= ``e``; 0 when the
+    climb runs off the chain (the cell floods to the ocean)."""
+    c = leaf.astype(np.int64).copy()
+    for k in range(anc.shape[0] - 1, -1, -1):
+        jump = pm[k][c] < e
+        if jump.any():
+            c[jump] = anc[k][c[jump]]
+    sentinel = anc.shape[1] - 1
+    return np.where(c == sentinel, 0, c)
 
 
 def depression_hierarchy(
@@ -795,11 +817,7 @@ def depression_hierarchy(
                 pos = np.searchsorted(klk, labg[m])
                 leaf = klv[np.clip(pos, 0, len(klk) - 1)]
                 e = elev[m]
-                idx = (cp[leaf] < e[:, None]).sum(axis=1)
-                hit = idx < cd.shape[1]
-                node = np.where(
-                    hit, cd[leaf, np.minimum(idx, cd.shape[1] - 1)], 0
-                )
+                node = climb_outlet_chains(cd, cp, leaf, e)
                 sel = node > 0
                 if not sel.any():
                     continue

@@ -41,7 +41,11 @@ from ..kernels.dephier import NO_VALUE
 from ..kernels.fsm import overflow
 from ..tiles import TILE_SCHEMA, RasterMeta, TiledRaster, pack, unpack
 from .accum import flow_accumulation_d8
-from .dephier import build_outlet_chains, depression_hierarchy
+from .dephier import (
+    build_outlet_chains,
+    climb_outlet_chains,
+    depression_hierarchy,
+)
 
 _N_BUCKETS = 4096
 # crossing buckets holding more values than this are re-bucketed instead
@@ -176,11 +180,7 @@ def fill_spill_merge(
             return out
         leaf = lab_flat[m]
         e = elev_flat[m]
-        idx = (cpv[leaf] < e[:, None]).sum(axis=1)
-        hit = idx < cdv.shape[1]
-        node = np.where(
-            hit, cdv[leaf, np.minimum(idx, cdv.shape[1] - 1)], 0
-        )
+        node = climb_outlet_chains(cdv, cpv, leaf, e)
         out[m] = np.where(node > 0, fov[np.maximum(node, 0)], -1)
         return out
 
