@@ -199,12 +199,17 @@ def combine_tiles(
 
 def aggregate_tiles(tr: "TiledRaster", tile_fn, combine_fn, init,
                     with_coords: bool = False):
-    """Partial-per-tile + driver-final aggregation (min/max/count/
-    surface-area class, Array2D.hpp:516-535,917-935): tile_fn(arr,
-    nodata) -> partial; combine_fn reduces partials.  With
-    ``with_coords=True`` the tile_fn is called as
-    ``tile_fn(arr, nodata, tile_x, tile_y)`` (edge-aware aggregates)."""
-    # executor-side partials via mapInPandas, tiny rows to the driver
+    """Two-level (tree) aggregation (min/max/count/surface-area class,
+    Array2D.hpp:516-535,917-935): tile_fn(arr, nodata) -> partial;
+    combine_fn reduces partials.  With ``with_coords=True`` the tile_fn
+    is called as ``tile_fn(arr, nodata, tile_x, tile_y)`` (edge-aware
+    aggregates).
+
+    Scale shape: partials are combined per PARTITION inside the Python
+    stage (executor-side map-side combine over every tile the partition
+    holds), so the driver sees one tiny JSON row per partition — at
+    10^6 tiles / 10^4 partitions that is 10^4 rows, never one per tile.
+    """
     import json as _json
 
     from pyspark.sql.types import StringType as _S, StructField as _F, \
@@ -213,19 +218,17 @@ def aggregate_tiles(tr: "TiledRaster", tile_fn, combine_fn, init,
     schema = _T([_F("partial", _S(), False)])
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
         for pdf in it:
-            parts = []
             for r in pdf.itertuples():
                 arr = unpack(r.data, r.height, r.width, r.dtype)
-                parts.append(
+                p = (
                     tile_fn(arr, r.nodata, r.tile_x, r.tile_y)
                     if with_coords else tile_fn(arr, r.nodata)
                 )
-            if parts:
-                acc = parts[0]
-                for p in parts[1:]:
-                    acc = combine_fn(acc, p)
-                yield pd.DataFrame({"partial": [_json.dumps(acc)]})
+                acc = p if acc is None else combine_fn(acc, p)
+        if acc is not None:
+            yield pd.DataFrame({"partial": [_json.dumps(acc)]})
 
     out = init
     for row in tr.df.mapInPandas(run, schema).collect():

@@ -164,6 +164,8 @@ def bucket_fill_from_edges(
     seeded_arr = np.array(seeded, dtype=np.int64)
     bc = spark.sparkContext.broadcast(seeded_arr)
 
+    src_nodata = meta.nodata
+
     def wave2(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sd = bc.value
         for pdf in it:
@@ -185,7 +187,10 @@ def bucket_fill_from_edges(
                 out["width"].append(r.width)
                 out["height"].append(r.height)
                 out["dtype"].append(dtype)
-                out["nodata"].append(None)
+                # propagate the source nodata so downstream per-tile
+                # masking (Perimeter, aggregate_tiles) keeps working on
+                # BucketFill output (meta.nodata is unchanged)
+                out["nodata"].append(src_nodata)
                 out["data"].append(pack(a))
             yield pd.DataFrame(out)
 
