@@ -357,6 +357,34 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_lsh_guard(spark, sf_dir):
+    """Hot-bucket guard accounting for the LSH dedup path ("no silent
+    caps"): how many candidate buckets exist, how many a cap of 2 would
+    drop, and the candidate pairs inside them."""
+    from richdem_spark.textops import lsh_guard_metrics, shingles
+
+    sh = shingles(_docs(spark, sf_dir))
+    m = lsh_guard_metrics(sh, num_hashes=4, bands=2, max_bucket_size=2)
+    return m.select(
+        F.col("candidate_buckets").cast("long"),
+        F.col("dropped_buckets").cast("long"),
+        F.col("dropped_candidates").cast("long"),
+    )
+
+
+def q_ngram_guard(spark, sf_dir):
+    """Stop-shingle guard accounting for the Jaccard path."""
+    from richdem_spark.textops import ngram_guard_metrics, shingles
+
+    sh = shingles(_docs(spark, sf_dir))
+    m = ngram_guard_metrics(sh, max_doc_freq=3)
+    return m.select(
+        F.col("total_shingles").cast("long"),
+        F.col("dropped_shingles").cast("long"),
+        F.col("dropped_postings").cast("long"),
+    )
+
+
 def q_simhash(spark, sf_dir):
     from richdem_spark.textops import simhash64
 
@@ -557,7 +585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lsh_guard": q_lsh_guard,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_guard": q_ngram_guard,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "cosine_topk": q_cosine_topk,
@@ -819,6 +849,48 @@ def oracle_sql() -> dict[str, str]:
             from bands l join bands r
               on l.band = r.band and l.bucket = r.bucket
             where l.doc < r.doc
+        """,
+        "lsh_guard": f"""
+            with sh as ({_SHINGLES}),
+            sig as (
+                select doc_id, {_mh(0)} as mh0, {_mh(1)} as mh1,
+                       {_mh(2)} as mh2, {_mh(3)} as mh3
+                from sh group by doc_id
+            ),
+            bands as (
+                select doc_id as doc, 0 as band,
+                       mh0::varchar || '_' || mh1::varchar as bucket
+                from sig
+                union all
+                select doc_id as doc, 1 as band,
+                       mh2::varchar || '_' || mh3::varchar as bucket
+                from sig
+            ),
+            sizes as (
+                select band, bucket, count(*) as n
+                from bands group by band, bucket
+                having count(*) >= 2
+            )
+            select count(*)::bigint as candidate_buckets,
+                   coalesce(sum(case when n > 2 then 1 else 0 end),
+                            0)::bigint as dropped_buckets,
+                   coalesce(sum(case when n > 2
+                                     then (n * (n - 1)) // 2
+                                     else 0 end),
+                            0)::bigint as dropped_candidates
+            from sizes
+        """,
+        "ngram_guard": f"""
+            with sh as ({_SHINGLES}),
+            sizes as (
+                select shingle, count(*) as n from sh group by shingle
+            )
+            select count(*)::bigint as total_shingles,
+                   coalesce(sum(case when n > 3 then 1 else 0 end),
+                            0)::bigint as dropped_shingles,
+                   coalesce(sum(case when n > 3 then n else 0 end),
+                            0)::bigint as dropped_postings
+            from sizes
         """,
         "ngram_jaccard": f"""
             with sh as ({_SHINGLES}),

@@ -89,7 +89,10 @@ def minhash_lsh_pairs(sh: DataFrame, num_hashes: int = 8, bands: int = 4,
     larger than the cap are dropped from candidate generation — their
     members are near-certain duplicates of each other and are better
     handled by the exact-dedup pass; the default is far above anything
-    a healthy corpus produces, so small-scale results are unchanged."""
+    a healthy corpus produces, so small-scale results are unchanged.
+
+    The guard is not silent: :func:`lsh_guard_metrics` reports how many
+    buckets/candidates the same cap drops (oracle-checked query)."""
     sig = minhash_signatures(sh, num_hashes, id_col)
     rows = num_hashes // bands
     band_structs = F.array(*[
@@ -123,6 +126,44 @@ def minhash_lsh_pairs(sh: DataFrame, num_hashes: int = 8, bands: int = 4,
     )
 
 
+def lsh_guard_metrics(sh: DataFrame, num_hashes: int = 8, bands: int = 4,
+                      id_col: str = "doc_id",
+                      max_bucket_size: int = 100_000) -> DataFrame:
+    """Observability for the LSH hot-bucket guard ("no silent caps"):
+    one row — total buckets, buckets over the cap, and the k(k-1)/2
+    candidate pairs those buckets would have emitted.  Same single
+    banded-signature aggregation as :func:`minhash_lsh_pairs`; run it
+    alongside the pair job (or over a sample) to audit what the cap is
+    costing at the current corpus."""
+    sig = minhash_signatures(sh, num_hashes, id_col)
+    rows = num_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[
+                F.col(f"mh{b * rows + r}").cast("string")
+                for r in range(rows)
+            ]).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    bands_df = sig.select(
+        F.col(id_col).alias("doc"), F.explode(band_structs).alias("bb")
+    ).select(F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    sizes = bands_df.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    ).where(F.col("n") >= 2)
+    over = F.col("n") > max_bucket_size
+    return sizes.agg(
+        F.count(F.lit(1)).alias("candidate_buckets"),
+        F.sum(over.cast("long")).alias("dropped_buckets"),
+        F.sum(F.when(over, (F.col("n") * (F.col("n") - 1) / 2)
+                     .cast("long")).otherwise(F.lit(0)))
+        .alias("dropped_candidates"),
+    )
+
+
 def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
                         id_col: str = "doc_id",
                         max_doc_freq: int | None = 100_000) -> DataFrame:
@@ -139,7 +180,10 @@ def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
     ``size(list) <= cap`` filter on the posting list; dropped shingles
     leave the universe entirely (sizes computed on the same filtered
     universe, the standard stop-shingle treatment).  The default cap is
-    inactive at test scale."""
+    inactive at test scale.
+
+    The guard is not silent: :func:`ngram_guard_metrics` reports the
+    stop-shingles and posting rows the same cap drops."""
     postings = sh.groupBy("shingle").agg(
         F.collect_list(F.col(id_col)).alias("ids")
     )
@@ -169,6 +213,21 @@ def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
         .select("a", "b", "jaccard")
     )
     return out
+
+
+def ngram_guard_metrics(sh: DataFrame, id_col: str = "doc_id",
+                        max_doc_freq: int = 100_000) -> DataFrame:
+    """Observability for the stop-shingle guard ("no silent caps"): one
+    row — total shingles, shingles over the doc-frequency cap, and the
+    posting rows removed with them."""
+    sizes = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+    over = F.col("n") > max_doc_freq
+    return sizes.agg(
+        F.count(F.lit(1)).alias("total_shingles"),
+        F.sum(over.cast("long")).alias("dropped_shingles"),
+        F.sum(F.when(over, F.col("n")).otherwise(F.lit(0)))
+        .alias("dropped_postings"),
+    )
 
 
 def simhash64(df: DataFrame, text_col: str = "text",
