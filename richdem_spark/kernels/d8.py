@@ -86,6 +86,39 @@ def d8_flow_directions(
     return dirs
 
 
+def d4_flow_directions(
+    elev: np.ndarray, nodata: float | None = None
+) -> np.ndarray:
+    """Steepest-descent D4 directions (cardinals W/N/E/S = 1/3/5/7
+    only) — FM_OCallaghan's D4 dispatch (OCallaghan1984.hpp Topology::D4;
+    constants.hpp:53-67 d4 tables).  Same forced-outward edge rule and
+    NoData convention as the D8 kernel; used as the flat-candidate
+    substrate for the D4 epsilon fill."""
+    h, w = elev.shape
+    dirs = np.zeros((h, w), dtype=np.uint8)
+    e = elev.astype(np.float64, copy=False)
+
+    if h >= 3 and w >= 3:
+        core = e[1:-1, 1:-1]
+        best = core.copy()
+        fd = np.zeros(core.shape, dtype=np.int64)
+        for n in (1, 3, 5, 7):
+            ne = e[1 + D8Y[n]: h - 1 + D8Y[n], 1 + D8X[n]: w - 1 + D8X[n]]
+            lower = ne < best
+            best = np.where(lower, ne, best)
+            fd = np.where(lower, n, fd)
+        dirs[1:-1, 1:-1] = fd.astype(np.uint8)
+
+    dirs[0, :] = 3
+    dirs[-1, :] = 7
+    dirs[:, 0] = 1
+    dirs[:, -1] = 5
+
+    if nodata is not None:
+        dirs[elev == nodata] = FLOWDIR_NO_DATA
+    return dirs
+
+
 def d8_flow_accum(
     dirs: np.ndarray, weights: np.ndarray | None = None
 ) -> np.ndarray:

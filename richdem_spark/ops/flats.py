@@ -39,7 +39,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..constants import D8X, D8Y, FLOWDIR_NO_DATA, NO_FLOW
+from ..constants import D8X, D8Y, FLOWDIR_NO_DATA, NO_FLOW, TOPO_D8
 from ..kernels.ccl import label_components
 from ..tiles import (
     TILE_SCHEMA,
@@ -88,9 +88,12 @@ _DIST_SCHEMA = StructType(
 )
 
 
-def _shifts(h, w):
+def _shifts(h, w, topology: str = TOPO_D8):
+    """Neighbour (dst, src) slice pairs — all 8 for D8, cardinals only
+    (W/N/E/S = dirs 1/3/5/7) for D4."""
     out = []
-    for n in range(1, 9):
+    dirs_n = range(1, 9) if topology == TOPO_D8 else (1, 3, 5, 7)
+    for n in dirs_n:
         dx, dy = int(D8X[n]), int(D8Y[n])
         dst = (slice(max(0, -dy), h - max(0, dy)),
                slice(max(0, -dx), w - max(0, dx)))
@@ -101,11 +104,12 @@ def _shifts(h, w):
 
 
 def _local_bfs(dist: np.ndarray, allowed: np.ndarray,
-               labels: np.ndarray) -> np.ndarray:
+               labels: np.ndarray,
+               topology: str = TOPO_D8) -> np.ndarray:
     """Multi-source BFS distance relaxation within a tile, expanding
     through same-label `allowed` cells.  Vectorized level sweeps."""
     h, w = dist.shape
-    shifts = _shifts(h, w)
+    shifts = _shifts(h, w, topology)
     cur = dist
     while True:
         best = cur.copy()
@@ -134,11 +138,18 @@ def _labels_raster(st, meta: RasterMeta) -> TiledRaster:
 
 
 def resolve_flats_distributed(
-    elev: TiledRaster, dirs: TiledRaster, max_rounds: int = 10_000
+    elev: TiledRaster, dirs: TiledRaster, max_rounds: int = 10_000,
+    topology: str = TOPO_D8,
 ):
     """Distributed resolve_flats_barnes; returns
-    (flat_mask: TiledRaster[int64], labels: TiledRaster[int64])."""
+    (flat_mask: TiledRaster[int64], labels: TiledRaster[int64]).
+
+    ``topology='D4'`` restricts every adjacency (flat components, seam
+    unions, gradient BFS) to the cardinal neighbours — the gradient
+    substrate for the D4 epsilon fill (Barnes2014.hpp:424-451 D4
+    dispatch)."""
     meta = elev.meta
+    conn = 8 if topology == TOPO_D8 else 4
     spark = elev.df.sparkSession
     ntx = meta.ntiles_x
     # compacted per-level component ids are bounded by the padded cell
@@ -174,7 +185,7 @@ def resolve_flats_distributed(
                 low = np.zeros((ph, pw), bool)
                 high = np.zeros((ph, pw), bool)
                 same_any = np.zeros((ph, pw), bool)
-                for dst, src in _shifts(ph, pw):
+                for dst, src in _shifts(ph, pw, topology):
                     nb_ok = valid[src]
                     low[dst] |= (
                         (pdirs[dst] != NO_FLOW) & valid[dst] & nb_ok
@@ -196,7 +207,7 @@ def resolve_flats_distributed(
                 off = 0
                 for z in np.unique(pe[cand]).tolist():
                     cz = cand & (pe == z)
-                    lz = label_components(cz)
+                    lz = label_components(cz, conn)
                     _, compact = np.unique(lz[cz], return_inverse=True)
                     comp[cz] = compact + 1 + off
                     off += int(compact.max()) + 2 if compact.size else 0
@@ -238,87 +249,103 @@ def resolve_flats_distributed(
 
     st = e_halo.mapInPandas(phase1, _STATE_SCHEMA).persist()
 
+    # ---- seam union-find (two-level: driver or executor job) ------------
+    def alias_solve(rows):
+        by_key = {(r.tile_x, r.tile_y): r for r in rows}
 
-    # ---- seam union-find -------------------------------------------------
-    rows = st.select(
-        "tile_x", "tile_y", "lab_n", "lab_s", "lab_w", "lab_e",
-        "elv_n", "elv_s", "elv_w", "elv_e", "lid", "lid_low",
-    ).collect()
+        def seam_pairs(sa, sb, ea_, eb_):
+            la = np.frombuffer(sa, dtype=np.int64)
+            lb = np.frombuffer(sb, dtype=np.int64)
+            ea = np.frombuffer(ea_, dtype=np.float64)
+            eb = np.frombuffer(eb_, dtype=np.float64)
+            n = len(la)
+            prs = set()
+            for off in ((-1, 0, 1) if conn == 8 else (0,)):
+                lo, hi = max(0, -off), min(n, n - off)
+                l1, l2 = la[lo:hi], lb[lo + off : hi + off]
+                m = (l1 > 0) & (l2 > 0) & (
+                    ea[lo:hi] == eb[lo + off : hi + off])
+                for a, b in zip(l1[m], l2[m]):
+                    prs.add((int(a), int(b)))
+            return prs
 
-    by_key = {(r.tile_x, r.tile_y): r for r in rows}
+        pairs = set()
+        for (tx, ty), r in by_key.items():
+            if (tx + 1, ty) in by_key:
+                r2 = by_key[(tx + 1, ty)]
+                pairs |= seam_pairs(r.lab_e, r2.lab_w, r.elv_e, r2.elv_w)
+            if (tx, ty + 1) in by_key:
+                r2 = by_key[(tx, ty + 1)]
+                pairs |= seam_pairs(r.lab_s, r2.lab_n, r.elv_s, r2.elv_n)
+            for ddx in ((-1, 1) if conn == 8 else ()):  # corners
+                if (tx + ddx, ty + 1) in by_key:
+                    r2 = by_key[(tx + ddx, ty + 1)]
+                    ia = -1 if ddx == 1 else 0
+                    ib = 0 if ddx == 1 else -1
+                    a = np.frombuffer(r.lab_s, np.int64)[ia]
+                    b = np.frombuffer(r2.lab_n, np.int64)[ib]
+                    ea = np.frombuffer(r.elv_s, np.float64)[ia]
+                    eb = np.frombuffer(r2.elv_n, np.float64)[ib]
+                    if a > 0 and b > 0 and ea == eb:
+                        pairs.add((int(a), int(b)))
 
-    def seam_pairs(sa, sb, ea_, eb_):
-        la = np.frombuffer(sa, dtype=np.int64)
-        lb = np.frombuffer(sb, dtype=np.int64)
-        ea = np.frombuffer(ea_, dtype=np.float64)
-        eb = np.frombuffer(eb_, dtype=np.float64)
-        n = len(la)
-        prs = set()
-        for off in (-1, 0, 1):
-            lo, hi = max(0, -off), min(n, n - off)
-            l1, l2 = la[lo:hi], lb[lo + off : hi + off]
-            m = (l1 > 0) & (l2 > 0) & (
-                ea[lo:hi] == eb[lo + off : hi + off])
-            for a, b in zip(l1[m], l2[m]):
-                prs.add((int(a), int(b)))
-        return prs
+        parent: dict[int, int] = {}
 
-    pairs = set()
-    for (tx, ty), r in by_key.items():
-        if (tx + 1, ty) in by_key:
-            r2 = by_key[(tx + 1, ty)]
-            pairs |= seam_pairs(r.lab_e, r2.lab_w, r.elv_e, r2.elv_w)
-        if (tx, ty + 1) in by_key:
-            r2 = by_key[(tx, ty + 1)]
-            pairs |= seam_pairs(r.lab_s, r2.lab_n, r.elv_s, r2.elv_n)
-        for ddx in (-1, 1):  # 4-tile diagonal corners
-            if (tx + ddx, ty + 1) in by_key:
-                r2 = by_key[(tx + ddx, ty + 1)]
-                ia = -1 if ddx == 1 else 0
-                ib = 0 if ddx == 1 else -1
-                a = np.frombuffer(r.lab_s, np.int64)[ia]
-                b = np.frombuffer(r2.lab_n, np.int64)[ib]
-                ea = np.frombuffer(r.elv_s, np.float64)[ia]
-                eb = np.frombuffer(r2.elv_n, np.float64)[ib]
-                if a > 0 and b > 0 and ea == eb:
-                    pairs.add((int(a), int(b)))
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
 
-    parent: dict[int, int] = {}
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
 
-    def find(x):
-        parent.setdefault(x, x)
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
+        has_low_g: dict[int, bool] = {}
+        for r in rows:
+            for l, hl in zip(r.lid, r.lid_low):
+                g = find(int(l))
+                has_low_g[g] = has_low_g.get(g, False) or bool(hl)
+        # per-owner-tile alias lists (label ids embed their owner tile)
+        per_tile: dict[tuple, tuple] = {}
+        for r in rows:
+            olds, news = [], []
+            for l in r.lid:
+                g = find(int(l))
+                olds.append(int(l))
+                news.append(g if has_low_g.get(g, False) else 0)
+            per_tile[(r.tile_x, r.tile_y)] = (olds, news)
+        return [(k[0], k[1], v[0], v[1]) for k, v in per_tile.items()]
 
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+    alias_schema = StructType([
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("olds", ArrayType(LongType()), False),
+        StructField("news", ArrayType(LongType()), False),
+    ])
+    from .solve import two_level_solve
 
-    has_low_g: dict[int, bool] = {}
-    all_lids = []
-    for r in rows:
-        for l, hl in zip(r.lid, r.lid_low):
-            g = find(int(l))
-            has_low_g[g] = has_low_g.get(g, False) or bool(hl)
-            all_lids.append(int(l))
-    alias = {
-        l: (find(l) if has_low_g.get(find(l), False) else 0)
-        for l in all_lids
-    }
-    alias_b = spark.sparkContext.broadcast(alias)
+    perim_est = meta.ntiles_x * meta.ntiles_y * 2 * (
+        meta.tile_w + meta.tile_h)
+    alias_df = two_level_solve(
+        st.select("tile_x", "tile_y", "lab_n", "lab_s", "lab_w",
+                  "lab_e", "elv_n", "elv_s", "elv_w", "elv_e",
+                  "lid", "lid_low"),
+        alias_solve, alias_schema, est_rows=perim_est,
+    )
 
     def relabel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        amap = alias_b.value
         for pdf in it:
             out = {f.name: [] for f in _STATE_SCHEMA.fields}
             for r in pdf.itertuples():
                 labels = unpack(r.labels, r.height, r.width,
                                 "int64").copy()
+                amap = (dict(zip(list(r.olds), list(r.news)))
+                        if r.olds is not None else {})
                 for l in np.unique(labels[labels > 0]).tolist():
                     labels[labels == l] = amap.get(int(l), 0)
                 for f in _STATE_SCHEMA.fields:
@@ -338,7 +365,8 @@ def resolve_flats_distributed(
                         out[f.name].append(getattr(r, f.name))
             yield pd.DataFrame(out)
 
-    st2 = st.mapInPandas(relabel, _STATE_SCHEMA).persist()
+    st2 = st.join(alias_df, ["tile_x", "tile_y"], "left") \
+        .mapInPandas(relabel, _STATE_SCHEMA).persist()
     st2.count()
     st.unpersist()
 
@@ -363,7 +391,7 @@ def resolve_flats_distributed(
                     dist = np.full((r.height, r.width), _IMAX,
                                    dtype=np.int64)
                     dist[seed] = 1
-                    dist = _local_bfs(dist, allowed, labels)
+                    dist = _local_bfs(dist, allowed, labels, topology)
                     out["tile_x"].append(r.tile_x)
                     out["tile_y"].append(r.tile_y)
                     out["width"].append(r.width)
@@ -419,7 +447,7 @@ def resolve_flats_distributed(
                         core = (slice(pt, pt + r.height),
                                 slice(pl, pl + r.width))
                         new = dist.copy()
-                        for dst, src in _shifts(ph, pw):
+                        for dst, src in _shifts(ph, pw, topology):
                             cand = np.full((ph, pw), _IMAX,
                                            dtype=np.int64)
                             cand[dst] = np.where(
@@ -431,7 +459,8 @@ def resolve_flats_distributed(
                             m = allowed & (c < new)
                             new[m] = c[m]
                         if (new < dist).any():
-                            new = _local_bfs(new, allowed, labels)
+                            new = _local_bfs(new, allowed, labels,
+                                             topology)
                             changed = 1
                         else:
                             changed = 0
@@ -459,33 +488,45 @@ def resolve_flats_distributed(
     towards = bfs_distance("low")
 
     # ---- flat_height per global flat (max away level) --------------------
+    # per-tile partials + groupBy(flat) max — then shipped back per tile
+    # via a presence join, NOT a global broadcast (#flats is unbounded
+    # at 100 TB; each tile only needs its own labels' heights)
     def flat_heights(it):
         for pdf in it:
-            la, lv = [], []
+            tx, ty, la, lv = [], [], [], []
             for r in pdf.itertuples():
                 labels = unpack(r.labels, r.height, r.width, "int64")
                 ad = unpack(r.dist, r.height, r.width, "int64")
                 m = (labels > 0) & (ad < _IMAX)
-                if m.any():
-                    for l in np.unique(labels[m]).tolist():
-                        la.append(int(l))
-                        lv.append(int(ad[m & (labels == l)].max()))
-            yield pd.DataFrame({"flat": la, "h": lv})
+                for l in np.unique(labels[labels > 0]).tolist():
+                    sel = m & (labels == l)
+                    tx.append(r.tile_x)
+                    ty.append(r.tile_y)
+                    la.append(int(l))
+                    lv.append(int(ad[sel].max()) if sel.any() else -1)
+            yield pd.DataFrame({"tile_x": tx, "tile_y": ty,
+                                "flat": la, "h": lv})
 
     fh_schema = StructType([
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
         StructField("flat", LongType(), False),
         StructField("h", LongType(), False),
     ])
-    fh_rows = (
+    presence = (
         st2.select("tile_x", "tile_y", "width", "height", "labels")
         .join(away.select("tile_x", "tile_y", "dist"),
               ["tile_x", "tile_y"])
         .mapInPandas(flat_heights, fh_schema)
-        .groupBy("flat").agg(F.max("h").alias("h"))
-        .collect()
+        .persist()
     )
-    fh = {int(r.flat): int(r.h) for r in fh_rows}
-    fh_b = spark.sparkContext.broadcast(fh)
+    fh_global = presence.groupBy("flat").agg(F.max("h").alias("gh"))
+    fh_lists = (
+        presence.select("tile_x", "tile_y", "flat")
+        .join(fh_global, "flat")
+        .groupBy("tile_x", "tile_y")
+        .agg(F.collect_list(F.struct("flat", "gh")).alias("fh_list"))
+    )
 
     # ---- combine into the superposed mask --------------------------------
     mask_join = (
@@ -496,10 +537,10 @@ def resolve_flats_distributed(
         .join(towards.select("tile_x", "tile_y",
                              F.col("dist").alias("towards")),
               ["tile_x", "tile_y"])
+        .join(fh_lists, ["tile_x", "tile_y"], "left")
     )
 
     def combine(it):
-        fhm = fh_b.value
         for pdf in it:
             out = {k: [] for k in ("tile_x", "tile_y", "width", "height",
                                    "dtype", "nodata", "data")}
@@ -509,6 +550,11 @@ def resolve_flats_distributed(
                 tw = unpack(r.towards, r.height, r.width, "int64")
                 awv = np.where(aw < _IMAX, aw, 0)
                 twv = np.where(tw < _IMAX, tw, 0)
+                fhm = {}
+                if r.fh_list is not None:
+                    for s in r.fh_list:
+                        if s["gh"] >= 0:
+                            fhm[int(s["flat"])] = int(s["gh"])
                 fhv = np.zeros_like(labels)
                 for l in np.unique(labels[labels > 0]).tolist():
                     fhv[labels == l] = fhm.get(int(l), 0)

@@ -214,3 +214,56 @@ def test_resolve_flats_dinf_distributed(spark):
         # resolution actually happened inside the flat
         inner = golden[9:15, 9:17]
         assert (inner != -1.0).any()
+
+
+def test_alter_dem_distributed_matches_pipeline(spark):
+    """ResolveFlats(alter_dem=True), fully distributed, equals the
+    single-grid resolve_flats_pipeline elevations cell-for-cell at
+    three tilings (round-3 gate removal)."""
+    from richdem_spark.api import ResolveFlats
+    from richdem_spark.tiles import raster_from_array
+
+    rng = np.random.default_rng(77)
+    dem = priority_flood_fill(
+        rng.integers(0, 9, (22, 27)).astype(np.float64))
+    _, want = resolve_flats_pipeline(dem, alter=True)
+    for tw, th in [(8, 8), (5, 9), (22, 4)]:
+        tr = raster_from_array(spark, dem, tile_w=tw, tile_h=th)
+        got = ResolveFlats(tr, alter_dem=True).to_array()
+        assert np.array_equal(got, want), (tw, th)
+
+
+def test_multi_tile_d4_epsilon_fill(spark):
+    """Multi-tile D4 epsilon fill (round-3 gate removal): every interior
+    cell must have a strictly lower CARDINAL neighbour (the D4 epsilon
+    guarantee, Barnes2014.hpp:424-451), fill levels match the plain D4
+    fill to ULP precision, and outputs are identical across tilings."""
+    from richdem_spark.api import FillDepressions
+    from richdem_spark.constants import TOPO_D4
+    from richdem_spark.kernels.fill import priority_flood_fill
+    from richdem_spark.tiles import raster_from_array
+
+    rng = np.random.default_rng(8)
+    dem = rng.integers(0, 6, (30, 30)).astype(np.float64)
+    outs = []
+    for tw, th in [(9, 11), (15, 15)]:
+        tr = raster_from_array(spark, dem, tile_w=tw, tile_h=th)
+        eps = FillDepressions(tr, epsilon=True,
+                              topology=TOPO_D4).to_array()
+        outs.append(eps)
+    assert np.array_equal(outs[0], outs[1])
+    eps = outs[0]
+    # strictly lower cardinal neighbour everywhere in the interior
+    lower = np.zeros_like(eps, dtype=bool)
+    lower[1:-1, 1:-1] = (
+        (eps[1:-1, 1:-1] > eps[:-2, 1:-1])
+        | (eps[1:-1, 1:-1] > eps[2:, 1:-1])
+        | (eps[1:-1, 1:-1] > eps[1:-1, :-2])
+        | (eps[1:-1, 1:-1] > eps[1:-1, 2:])
+    )
+    assert lower[1:-1, 1:-1].all()
+    plain = priority_flood_fill(dem, topology=TOPO_D4)
+    assert (eps >= plain).all()
+    # epsilon raises by nextafter chains only (tiny absolute budget even
+    # for zero-valued cells, where rtol would be meaningless)
+    assert float((eps - plain).max()) <= 1e-9
