@@ -36,38 +36,31 @@ def FillDepressions(
     alternative, exact across tile seams."""
     m = tr.meta
     multi = m.ntiles_x > 1 or m.ntiles_y > 1
-    if epsilon and multi and topology != TOPO_D8:
-        # D4 epsilon needs D4-connected gradients; the distributed flats
-        # machinery is D8.  Exact single-grid kernel below the gate,
-        # loud refusal above it — never a silently seam-inconsistent
-        # per-tile epsilon.
-        if m.width * m.height > 64_000_000:
-            raise NotImplementedError(
-                "multi-tile D4 epsilon fill: no distributed D4 gradient "
-                "path yet (D8 epsilon is fully distributed)"
-            )
-        from .kernels.fill import priority_flood_fill_pq
-        from .tiles import raster_from_array
-
-        out = priority_flood_fill_pq(
-            tr.to_array(), m.nodata, topology, epsilon=True
-        )
-        res = raster_from_array(tr.df.sparkSession, out, m.tile_w,
-                                m.tile_h, m.nodata, m.geotransform)
-        res.meta = res.meta.with_history(
-            f"fill_depressions(topology={topology}, epsilon=True)")
-        return res
     if not epsilon or not multi:
         return _fill(tr, topology=topology, epsilon=epsilon,
                      metrics=metrics)
+    # multi-tile epsilon (either topology): plain fill + the distributed
+    # flat resolution's nextafter gradients on the matching adjacency —
+    # the reference's own principled alternative, exact across seams
     filled = _fill(tr, topology=topology, epsilon=False, metrics=metrics)
     from .ops.flats import (
         alter_dem_distributed,
         resolve_flats_distributed,
     )
 
-    dirs = FlowDirectionsD8(filled)
-    mask, labels = resolve_flats_distributed(filled, dirs)
+    if topology == TOPO_D8:
+        dirs = FlowDirectionsD8(filled)
+    else:
+        from .kernels.d8 import d4_flow_directions as _d4k
+
+        dirs = apply_focal(
+            filled, _d4k, out_dtype="uint8",
+            out_nodata=float(FLOWDIR_NO_DATA),
+            kernel_kwargs={"nodata": filled.meta.nodata},
+            op_name="d4_flow_directions",
+        )
+    mask, labels = resolve_flats_distributed(
+        filled, dirs, topology=topology)
     return alter_dem_distributed(filled, mask, labels)
 
 
@@ -363,33 +356,23 @@ def BreachDepressions(
     epsilon: bool = False,
     max_path_len: int = 2**31,
     max_depth: float = float("inf"),
-    max_cells: int = 16_000_000,
 ) -> TiledRaster:
-    """Lindsay 2016 breaching (depressions/Lindsay2016.hpp:227-423).
+    """Lindsay 2016 breaching (depressions/Lindsay2016.hpp:227-423),
+    fully distributed at any raster size (no gather, no size gate).
 
-    Breach backlink paths cross tile seams with no published tiled
-    algorithm (SURVEY.md §7.3), so this operator gathers the raster to a
-    single partition below ``max_cells`` and runs the exact kernel there;
-    larger rasters raise until the tiled variant lands."""
-    m = tr.meta
-    if m.width * m.height > max_cells:
-        raise NotImplementedError(
-            "tiled breaching pending; raster exceeds the single-partition "
-            f"gate ({m.width}x{m.height} > {max_cells} cells)"
-        )
-    from .kernels.breach import lindsay2016
-    from .tiles import raster_from_array
+    The tiled decomposition (ops/breach.py) replays the global
+    Priority-Flood backlink forest per tile using the distributed fill's
+    exact spill levels as seam gates, walks each pit's breach path
+    across seams as continuation rows, and min-combines the carves —
+    see the ops/breach.py module docstring for the exactness argument.
+    Tie order is the canonical static (elevation, flat-index); it
+    reproduces all 7 reference goldens (the serial stable-insertion
+    kernel stays in kernels/breach.py for reference parity)."""
+    from .ops.breach import breach_depressions_tiled
 
-    arr = tr.to_array()
-    out = lindsay2016(
-        arr, m.nodata, mode, epsilon, fill, max_path_len, max_depth
+    return breach_depressions_tiled(
+        tr, mode, epsilon, fill, max_path_len, max_depth
     )
-    res = raster_from_array(
-        tr.df.sparkSession, out, m.tile_w, m.tile_h, m.nodata,
-        m.geotransform,
-    )
-    res.meta = res.meta.with_history(f"breach_depressions({mode})")
-    return res
 
 
 def WatershedLabels(tr: TiledRaster, epsilon: bool = True) -> TiledRaster:
@@ -475,21 +458,44 @@ def NumDataCells(tr: TiledRaster) -> int:
 
 
 def SurfaceArea(tr: TiledRaster) -> float:
-    """Jenness 2004 3D surface area (misc/misc_methods.hpp:39-169);
-    per-tile partials with float64 accumulators + driver sum.  Tile-edge
-    triangles use centre-substitution (exact only per-tile; halo variant
-    pending)."""
-    from .kernels.terrain import dem_surface_area
-    from .ops.focal import aggregate_tiles
+    """Jenness 2004 3D surface area (misc/misc_methods.hpp:39-169),
+    exact at tile seams: each tile computes the per-cell triangle sums
+    over its halo-padded array and contributes only its core region, so
+    seam triangles see the true neighbour heights (global-DEM edges keep
+    the reference's centre-substitution).  Per-partition float64
+    partials + driver sum."""
+    import json as _json
+
+    from pyspark.sql.types import StringType as _S, StructField as _F, \
+        StructType as _T
+
+    from .kernels.terrain import dem_surface_area_grid
+    from .tiles import assemble_padded, halo_join, unpack
 
     m = tr.meta
-    return float(aggregate_tiles(
-        tr,
-        lambda a, nd: dem_surface_area(
-            a, nd, m.cell_length_x, m.cell_length_y),
-        lambda x, y: x + y,
-        0.0,
-    ))
+    lx, ly = m.cell_length_x, m.cell_length_y
+    nodata = m.nodata
+    schema = _T([_F("partial", _S(), False)])
+
+    def run(it):
+        acc = 0.0
+        for pdf in it:
+            for r in pdf.itertuples():
+                core = unpack(r.data, r.height, r.width, r.dtype)
+                strips = ([(s["slot"], s["strip"]) for s in r.halo]
+                          if r.halo is not None else [])
+                fillv = nodata if nodata is not None else 0.0
+                padded, pt, pl = assemble_padded(
+                    core, strips, r.dtype, fillv)
+                g = dem_surface_area_grid(padded, nodata, lx, ly)
+                acc += float(
+                    g[pt:pt + r.height, pl:pl + r.width].sum())
+        yield pd.DataFrame({"partial": [_json.dumps(acc)]})
+
+    total = 0.0
+    for row in halo_join(tr).mapInPandas(run, schema).collect():
+        total += _json.loads(row.partial)
+    return float(total)
 
 
 def RasterEquals(a: TiledRaster, b: TiledRaster) -> bool:
@@ -528,76 +534,45 @@ def RasterCompare(a: TiledRaster, b: TiledRaster) -> dict:
 
 
 def ResolveFlats(
-    tr: TiledRaster, alter_dem: bool = False, max_cells: int = 16_000_000
+    tr: TiledRaster, alter_dem: bool = False
 ) -> TiledRaster:
-    """Barnes 2014a flat resolution (flats/flat_resolution.hpp:447-517).
+    """Barnes 2014a flat resolution (flats/flat_resolution.hpp:447-517),
+    fully distributed in both forms.
 
     ``alter_dem=False`` (default) returns flat-resolved D8 flow
-    directions, fully distributed: global flat labelling via seam
-    union-find + cross-tile BFS distance relaxation (ops/flats.py).
-    ``alter_dem=True`` returns nextafter-altered elevations and gathers
-    below ``max_cells`` (cross-seam nextafter chains pending)."""
-    m = tr.meta
-    if not alter_dem:
-        from .ops.flats import (
-            flow_dirs_through_flats,
-            resolve_flats_distributed,
-        )
-
-        dirs = FlowDirectionsD8(tr)
-        mask, labels = resolve_flats_distributed(tr, dirs)
-        return flow_dirs_through_flats(dirs, mask, labels)
-    if m.width * m.height > max_cells:
-        raise NotImplementedError(
-            "tiled alter_dem flat resolution pending; raster exceeds the "
-            f"single-partition gate ({max_cells} cells)"
-        )
-    from .kernels.flats import resolve_flats_pipeline
-    from .tiles import raster_from_array
-
-    arr = tr.to_array()
-    dirs, elev = resolve_flats_pipeline(arr, m.nodata, alter=alter_dem)
-    res = raster_from_array(
-        tr.df.sparkSession, elev, m.tile_w, m.tile_h,
-        m.nodata, m.geotransform,
+    directions: global flat labelling via seam union-find + cross-tile
+    BFS distance relaxation (ops/flats.py).  ``alter_dem=True`` returns
+    the nextafter-altered elevations (flat_resolution.hpp:545-582): the
+    same distributed mask/labels applied as per-cell nextafter chains —
+    the chain count is the mask value, so no cross-seam walking is
+    needed once the global mask exists."""
+    from .ops.flats import (
+        alter_dem_distributed,
+        flow_dirs_through_flats,
+        resolve_flats_distributed,
     )
-    res.meta = res.meta.with_history("resolve_flats(alter_dem=True)")
-    return res
+
+    dirs = FlowDirectionsD8(tr)
+    mask, labels = resolve_flats_distributed(tr, dirs)
+    if not alter_dem:
+        return flow_dirs_through_flats(dirs, mask, labels)
+    return alter_dem_distributed(tr, mask, labels)
 
 
 def GetDepressionHierarchy(
     tr: TiledRaster, ocean_labels: TiledRaster | None = None,
-    max_cells: int = 16_000_000,
 ):
     """Depression hierarchy (depressions/depression_hierarchy.hpp:243-725;
     pyRichDEM get_depression_hierarchy, __init__.py:815-864).
 
-    Returns (depressions, labels_raster, flowdirs_raster).  The default
-    ocean (global border + NoData) runs fully distributed
-    (ops/dephier.py, O(perimeter + #leaves) communication); a custom
-    ``ocean_labels`` raster uses the single-grid kernel below
-    ``max_cells``."""
-    import numpy as np
+    Returns (depressions, labels_raster, flowdirs_raster).  Fully
+    distributed for both the default ocean (global border + NoData) and
+    a custom ``ocean_labels`` raster (cells whose value == OCEAN seed
+    the flood) — the mask is threaded through wave A with its own halo
+    (ops/dephier.py); communication stays O(perimeter + #leaves)."""
+    from .ops.dephier import depression_hierarchy
 
-    from .kernels.dephier import OCEAN, get_depression_hierarchy as _gdh
-    from .tiles import raster_from_array
-
-    m = tr.meta
-    if ocean_labels is None:
-        from .ops.dephier import depression_hierarchy
-
-        return depression_hierarchy(tr)
-    if m.width * m.height > max_cells:
-        raise NotImplementedError("dephier exceeds single-partition gate")
-    dem = tr.to_array()
-    lab = ocean_labels.to_array()
-    deps, labels, flowdirs = _gdh(dem, lab)
-    spark = tr.df.sparkSession
-    lab_r = raster_from_array(spark, labels, m.tile_w, m.tile_h, -1.0,
-                              m.geotransform)
-    flow_r = raster_from_array(spark, flowdirs, m.tile_w, m.tile_h, None,
-                               m.geotransform)
-    return deps, lab_r, flow_r
+    return depression_hierarchy(tr, ocean_labels=ocean_labels)
 
 
 def FillSpillMerge(tr: TiledRaster, wtd: TiledRaster) -> TiledRaster:

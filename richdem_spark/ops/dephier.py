@@ -120,7 +120,12 @@ def _slots(topology):
     return range(1, 9) if topology == TOPO_D8 else (1, 3, 5, 7)
 
 
-def _wave_a(meta: RasterMeta, topology: str):
+def _wave_a(meta: RasterMeta, topology: str, custom_ocean: bool = False):
+    """``custom_ocean=True``: rows carry ``omask``/``ohalo`` (uint8
+    ocean-mask tile + halo, pyRichDEM's ``labels_in == OCEAN`` cells,
+    __init__.py:815-864) and the mask REPLACES the default
+    border+NoData ocean definition entirely (the reference kernel's
+    semantics for user labels)."""
     W, H = meta.width, meta.height
     tw, th = meta.tile_w, meta.tile_h
     nodata = meta.nodata
@@ -149,10 +154,21 @@ def _wave_a(meta: RasterMeta, topology: str):
                 gxs = x0 + np.arange(w + 2)
                 gys = y0 + np.arange(h + 2)
                 oc = np.zeros((h + 2, w + 2), dtype=bool)
-                oc[:, (gxs == 0) | (gxs == W - 1)] = True
-                oc[(gys == 0) | (gys == H - 1), :] = True
-                if nodata is not None:
-                    oc |= full == nodata
+                if custom_ocean:
+                    om = unpack(r.omask, h, w, "uint8")
+                    ostrips = ([(s["slot"], s["strip"])
+                                for s in r.ohalo]
+                               if r.ohalo is not None else [])
+                    opad, opt, opl = assemble_padded(
+                        om, ostrips, "uint8", 0)
+                    oc[1 - opt: 1 - opt + opad.shape[0],
+                       1 - opl: 1 - opl + opad.shape[1]] = \
+                        opad.astype(bool)
+                else:
+                    oc[:, (gxs == 0) | (gxs == W - 1)] = True
+                    oc[(gys == 0) | (gys == H - 1), :] = True
+                    if nodata is not None:
+                        oc |= full == nodata
                 oc &= np.isfinite(full)  # off-DEM frame is not ocean
 
                 cv = full[1 : 1 + h, 1 : 1 + w]
@@ -373,13 +389,13 @@ def _min_outlets(parts):
     return best
 
 
-def _wave_b(meta: RasterMeta, topology: str, res_map):
-    """Relabel to global pit roots + in-tile outlets + border strips."""
+def _wave_b(meta: RasterMeta, topology: str):
+    """Relabel to global pit roots + in-tile outlets + border strips.
+    Hop resolutions arrive per tile as joined ``mkeys``/``mvals`` arrays
+    (each tile receives the resolved terminals of its neighbours' border
+    cells), so no O(perimeter) map is shipped in the closure."""
     W = meta.width
     tw, th = meta.tile_w, meta.tile_h
-    # broadcast-ready sorted arrays
-    keys = np.array(sorted(res_map), dtype=np.int64)
-    vals = np.array([res_map[k] for k in keys.tolist()], dtype=np.int64)
     slots_f = (5, 6, 7, 8) if topology == TOPO_D8 else (5, 7)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -389,6 +405,12 @@ def _wave_b(meta: RasterMeta, topology: str, res_map):
                 h, w = r.height, r.width
                 term = unpack(r.term, h, w, "int64").ravel()
                 elev = unpack(r.data, h, w, "float64")
+                keys = (np.array(list(r.mkeys), dtype=np.int64)
+                        if r.mkeys is not None
+                        else np.empty(0, dtype=np.int64))
+                vals = (np.array(list(r.mvals), dtype=np.int64)
+                        if r.mvals is not None
+                        else np.empty(0, dtype=np.int64))
                 # decode: ocean -> -1; root -> gidx; hop -> resolve
                 g, kind = _dec(term)
                 lab = np.where(term == _OCEAN_ENC, -1, g)
@@ -622,23 +644,83 @@ def climb_outlet_chains(anc: np.ndarray, pm: np.ndarray,
 
 def depression_hierarchy(
     tr: TiledRaster, topology: str = TOPO_D8,
+    ocean_labels: TiledRaster | None = None,
 ):
-    """Distributed GetDepressionHierarchy.  Ocean = global DEM border +
-    NoData cells (the reference driver's default,
-    programs/fsm/main.cpp pattern).  Returns
+    """Distributed GetDepressionHierarchy.  Default ocean = global DEM
+    border + NoData cells (the reference driver's default,
+    programs/fsm/main.cpp pattern); pass ``ocean_labels`` (cells whose
+    value == OCEAN are ocean, pyRichDEM __init__.py:815-864) to seed a
+    custom ocean instead.  Returns
     (deps, labels TiledRaster(int64, OCEAN=0), flowdirs TiledRaster)."""
     meta = tr.meta
     spark = tr.df.sparkSession
     W = meta.width
 
-    a_df = halo_join(tr).mapInPandas(
-        _wave_a(meta, topology), _A_SCHEMA
+    a_in = halo_join(tr)
+    if ocean_labels is not None:
+        from .focal import elementwise
+
+        mask_tr = elementwise(
+            ocean_labels,
+            lambda a: (a == OCEAN).astype(np.uint8),
+            out_dtype="uint8", out_nodata=None,
+            op_name="ocean_mask",
+        )
+        o_halo = halo_join(mask_tr).select(
+            "tile_x", "tile_y",
+            F.col("data").alias("omask"),
+            F.col("halo").alias("ohalo"),
+        )
+        a_in = a_in.join(o_halo, ["tile_x", "tile_y"])
+
+    a_df = a_in.mapInPandas(
+        _wave_a(meta, topology, custom_ocean=ocean_labels is not None),
+        _A_SCHEMA,
     ).persist()
 
-    border_rows = a_df.select("bg", "bt").collect()
-    res_map = _resolve_hops(border_rows)
+    # ---- border-hop resolution (two-level: driver or executor job);
+    # each resolved border terminal is delivered to the 8 neighbouring
+    # tiles (hop targets always land in a neighbour's border ring), so
+    # wave B joins its slice instead of shipping an O(perimeter) map.
+    ntx, nty = meta.ntiles_x, meta.ntiles_y
+    tw, th = meta.tile_w, meta.tile_h
 
-    # leaf roots: (gidx, elev)
+    def hop_solve(rows):
+        res = _resolve_hops(rows)
+        per_t: dict[tuple, list] = {}
+        for g, enc in res.items():
+            o_tx = (g % W) // tw
+            o_ty = (g // W) // th
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    t2 = (o_tx + dx, o_ty + dy)
+                    if 0 <= t2[0] < ntx and 0 <= t2[1] < nty:
+                        per_t.setdefault(t2, []).append((g, enc))
+        out = []
+        for (tx2, ty2), lst in per_t.items():
+            lst.sort()
+            out.append((tx2, ty2,
+                        [k for k, _ in lst], [v for _, v in lst]))
+        return out
+
+    hop_schema = StructType([
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("mkeys", ArrayType(LongType()), False),
+        StructField("mvals", ArrayType(LongType()), False),
+    ])
+    from .solve import two_level_solve
+
+    hops_df = two_level_solve(
+        a_df.select("tile_x", "tile_y", "bg", "bt"),
+        hop_solve, hop_schema,
+        est_rows=ntx * nty * 2 * (tw + th),
+    )
+
+    # leaf roots: (gidx, elev) — O(#pits), part of the returned deps
+    # list itself (the producer-rank bound the reference accepts)
     root_rows = a_df.select("rg", "re").collect()
     rg = (np.concatenate([np.frombuffer(r.rg, dtype=np.int64)
                           for r in root_rows])
@@ -650,9 +732,8 @@ def depression_hierarchy(
     rg, re_ = rg[order], re_[order]
     pit_elev_of = dict(zip(rg.tolist(), re_.tolist()))
 
-    b_df = a_df.mapInPandas(
-        _wave_b(meta, topology, res_map), _B_SCHEMA
-    ).persist()
+    b_df = a_df.join(hops_df, ["tile_x", "tile_y"], "left") \
+        .mapInPandas(_wave_b(meta, topology), _B_SCHEMA).persist()
 
     in_tile = b_df.select(
         F.explode(F.arrays_zip("oa", "ob", "oc", "oz")).alias("o")

@@ -266,3 +266,37 @@ def test_distributed_fsm_bucket_refinement(spark, monkeypatch):
     monkeypatch.setattr(fsm_mod, "COLLECT_CAP", 1)
     got = fsm_mod.fill_spill_merge(tr, twr).to_array()
     assert np.allclose(got, gold, atol=1e-9)
+
+
+def test_distributed_hierarchy_custom_ocean(spark):
+    """Custom ocean_labels (round-3 gate removal): an interior 'sea'
+    region seeds the flood instead of the border; the distributed
+    hierarchy equals the single-grid kernel field-for-field at >=2
+    tilings."""
+    from richdem_spark.api import GetDepressionHierarchy
+    from richdem_spark.tiles import raster_from_array
+
+    dem = _tiefree(7)
+    n = dem.shape[0]
+    # interior ocean: a low block in the middle; border is land
+    labels = np.full((n, n), 5, dtype=np.int64)   # non-zero = land
+    cy, cx = n // 2, n // 2
+    labels[cy - 2:cy + 2, cx - 2:cx + 2] = 0      # OCEAN
+    dem[cy - 2:cy + 2, cx - 2:cx + 2] -= 50.0     # make it genuinely low
+    ds, lab_s, flow_s = get_depression_hierarchy(dem, labels)
+    for tw, th in ((8, 8), (6, 11)):
+        tr = raster_from_array(spark, dem, tile_w=tw, tile_h=th)
+        lab_tr = raster_from_array(
+            spark, labels.astype(np.float64), tile_w=tw, tile_h=th)
+        dd, lab_d, flow_d = GetDepressionHierarchy(
+            tr, ocean_labels=lab_tr)
+        assert len(dd) == len(ds), (tw, th)
+        for a, b in zip(ds, dd):
+            for f in ("parent", "lchild", "rchild", "odep",
+                      "geolink", "ocean_parent", "cell_count"):
+                assert getattr(a, f) == getattr(b, f), (tw, th, f)
+            assert np.isclose(a.pit_elev, b.pit_elev)
+            assert np.isclose(a.dep_vol, b.dep_vol)
+        assert np.array_equal(lab_d.to_array(), lab_s), (tw, th)
+        assert np.array_equal(
+            flow_d.to_array(), flow_s.astype(np.uint8)), (tw, th)
