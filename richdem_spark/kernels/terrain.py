@@ -199,16 +199,16 @@ def cti(accum: np.ndarray, slope_pct: np.ndarray, cell_area: float = 1.0,
     return np.where((accum < 0) | (slope_pct < 0), nodata_out, out)
 
 
-def dem_surface_area(
+def dem_surface_area_grid(
     elev: np.ndarray, nodata: float | None, cell_lx: float = 1.0,
     cell_ly: float = 1.0,
-) -> float:
-    """Jenness 2004 3D surface area (misc/misc_methods.hpp:39-169).
-
-    Sum over cells of eight triangle areas formed with neighbour midpoints;
-    NoData neighbours are treated as centre height.  float64 accumulator as
-    in the reference (misc_methods.hpp:58-71).
-    """
+) -> np.ndarray:
+    """Per-cell Jenness 2004 triangle-area sums
+    (misc/misc_methods.hpp:39-169): eight triangles to neighbour
+    midpoints per cell; NoData / out-of-grid neighbours take the centre
+    height.  Returns the per-cell area plane (0 at NoData cells) so
+    tiled callers can sum only their core region over a halo-padded
+    array (exact seam triangles)."""
     planes = _window(elev, nodata, 1.0)
     e = planes["e"]
     # neighbour order around the ring: b,c,f,i,h,g,d,a back to b
@@ -235,4 +235,14 @@ def dem_surface_area(
         total += area
     if nodata is not None:
         total[elev == nodata] = 0.0
-    return float(total.sum())
+    return total
+
+
+def dem_surface_area(
+    elev: np.ndarray, nodata: float | None, cell_lx: float = 1.0,
+    cell_ly: float = 1.0,
+) -> float:
+    """Whole-grid Jenness 2004 3D surface area; float64 accumulator as
+    in the reference (misc_methods.hpp:58-71)."""
+    return float(
+        dem_surface_area_grid(elev, nodata, cell_lx, cell_ly).sum())
