@@ -99,75 +99,93 @@ def bucket_fill_from_edges(
 
     st = tr.df.mapInPandas(wave1, _BF_SCHEMA).persist()
 
-    rows = st.select("tile_x", "tile_y", "edge_seeded",
-                     "cmp_n", "cmp_s", "cmp_w", "cmp_e").collect()
-    by_key = {(r.tile_x, r.tile_y): r for r in rows}
+    def solve(rows):
+        """Seam union-find over the collected strips; returns, per tile,
+        the sorted list of that tile's seeded component ids (component
+        ids embed their owner tile via the stride offset)."""
+        by_key = {(r.tile_x, r.tile_y): r for r in rows}
+        uf: dict[int, int] = {}
 
-    uf: dict[int, int] = {}
+        def find(x):
+            r = x
+            while uf.get(r, r) != r:
+                r = uf[r]
+            while uf.get(x, x) != x:
+                uf[x], x = r, uf[x]
+            return r
 
-    def find(x):
-        r = x
-        while uf.get(r, r) != r:
-            r = uf[r]
-        while uf.get(x, x) != x:
-            uf[x], x = r, uf[x]
-        return r
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                uf[max(ra, rb)] = min(ra, rb)
 
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            uf[max(ra, rb)] = min(ra, rb)
-
-    offs = (-1, 0, 1) if topology == TOPO_D8 else (0,)
-    for (tx, ty), r in by_key.items():
-        for (dx2, dy2, col_a, col_b) in (
-            (1, 0, "cmp_e", "cmp_w"),
-            (0, 1, "cmp_s", "cmp_n"),
-        ):
-            other = by_key.get((tx + dx2, ty + dy2))
-            if other is None:
-                continue
-            sa = np.frombuffer(getattr(r, col_a), dtype=np.int64)
-            sb = np.frombuffer(getattr(other, col_b), dtype=np.int64)
-            n = min(len(sa), len(sb))
-            for off in offs:
-                lo, hi = max(0, -off), min(n, n - off)
-                aa = sa[lo:hi]
-                bb = sb[lo + off : hi + off]
-                mm = (aa > 0) & (bb > 0)
-                for x, y in zip(aa[mm].tolist(), bb[mm].tolist()):
-                    union(x, y)
-        if topology == TOPO_D8:
-            # 4-tile diagonal corners
-            for ddx, ddy, ca, cb in (
-                (1, 1, "cmp_s", "cmp_n"), (-1, 1, "cmp_s", "cmp_n")
+        offs = (-1, 0, 1) if topology == TOPO_D8 else (0,)
+        for (tx, ty), r in by_key.items():
+            for (dx2, dy2, col_a, col_b) in (
+                (1, 0, "cmp_e", "cmp_w"),
+                (0, 1, "cmp_s", "cmp_n"),
             ):
-                other = by_key.get((tx + ddx, ty + ddy))
+                other = by_key.get((tx + dx2, ty + dy2))
                 if other is None:
                     continue
-                sa = np.frombuffer(getattr(r, ca), dtype=np.int64)
-                sb = np.frombuffer(getattr(other, cb), dtype=np.int64)
-                a_v = sa[-1] if ddx == 1 else sa[0]
-                b_v = sb[0] if ddx == 1 else sb[-1]
-                if a_v > 0 and b_v > 0:
-                    union(int(a_v), int(b_v))
+                sa = np.frombuffer(getattr(r, col_a), dtype=np.int64)
+                sb = np.frombuffer(getattr(other, col_b), dtype=np.int64)
+                n = min(len(sa), len(sb))
+                for off in offs:
+                    lo, hi = max(0, -off), min(n, n - off)
+                    aa = sa[lo:hi]
+                    bb = sb[lo + off : hi + off]
+                    mm = (aa > 0) & (bb > 0)
+                    for x, y in zip(aa[mm].tolist(), bb[mm].tolist()):
+                        union(x, y)
+            if topology == TOPO_D8:
+                # 4-tile diagonal corners
+                for ddx, ddy, ca, cb in (
+                    (1, 1, "cmp_s", "cmp_n"), (-1, 1, "cmp_s", "cmp_n")
+                ):
+                    other = by_key.get((tx + ddx, ty + ddy))
+                    if other is None:
+                        continue
+                    sa = np.frombuffer(getattr(r, ca), dtype=np.int64)
+                    sb = np.frombuffer(getattr(other, cb), dtype=np.int64)
+                    a_v = sa[-1] if ddx == 1 else sa[0]
+                    b_v = sb[0] if ddx == 1 else sb[-1]
+                    if a_v > 0 and b_v > 0:
+                        union(int(a_v), int(b_v))
 
-    seeded_roots = set()
-    for r in rows:
-        for s in r.edge_seeded:
-            seeded_roots.add(find(int(s)))
-    # every component whose root is seeded gets filled
-    all_ids = set(uf) | seeded_roots
-    seeded = sorted(
-        x for x in all_ids if find(x) in seeded_roots
+        seeded_roots = set()
+        for r in rows:
+            for s in r.edge_seeded:
+                seeded_roots.add(find(int(s)))
+        all_ids = set(uf) | seeded_roots
+        per_tile: dict[int, list] = {}
+        for x in all_ids:
+            if find(x) in seeded_roots:
+                per_tile.setdefault(x // stride, []).append(x)
+        return [
+            (owner % ntx, owner // ntx, sorted(ids))
+            for owner, ids in per_tile.items()
+        ]
+
+    from pyspark.sql.types import ArrayType as _AT, LongType as _LT
+
+    seed_schema = StructType([
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("seeded", _AT(_LT()), False),
+    ])
+    from .solve import two_level_solve
+
+    seeded_df = two_level_solve(
+        st.select("tile_x", "tile_y", "edge_seeded",
+                  "cmp_n", "cmp_s", "cmp_w", "cmp_e"),
+        solve, seed_schema,
+        est_rows=ntx * nty * 2 * (meta.tile_w + meta.tile_h),
     )
-    seeded_arr = np.array(seeded, dtype=np.int64)
-    bc = spark.sparkContext.broadcast(seeded_arr)
 
     src_nodata = meta.nodata
 
     def wave2(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sd = bc.value
         for pdf in it:
             out = {k: [] for k in ("tile_x", "tile_y", "width", "height",
                                    "dtype", "nodata", "data")}
@@ -175,6 +193,9 @@ def bucket_fill_from_edges(
                 dtype = r.dt.decode()
                 a = unpack(r.data, r.height, r.width, dtype).copy()
                 comp = unpack(r.comp, r.height, r.width, "int64")
+                sd = (np.array(list(r.seeded), dtype=np.int64)
+                      if r.seeded is not None else
+                      np.empty(0, dtype=np.int64))
                 m = comp > 0
                 if m.any() and sd.size:
                     pos = np.searchsorted(sd, comp[m])
@@ -194,7 +215,8 @@ def bucket_fill_from_edges(
                 out["data"].append(pack(a))
             yield pd.DataFrame(out)
 
-    out_df = st.mapInPandas(wave2, TILE_SCHEMA)
+    out_df = st.join(seeded_df, ["tile_x", "tile_y"], "left") \
+        .mapInPandas(wave2, TILE_SCHEMA)
     return TiledRaster(
         out_df,
         meta.with_history(
@@ -304,86 +326,88 @@ def upslope_cells(
 
     st = dirs.df.mapInPandas(wave1, _UP_SCHEMA).persist()
 
-    perim = st.select("tile_x", "tile_y",
-                      "px", "py", "phit", "qx", "qy", "qdir").collect()
-    route = {}
-    for row in perim:
-        t = (row.tile_x, row.tile_y)
-        for i in range(len(row.px)):
-            route[(t, row.px[i], row.py[i])] = (
-                bool(row.phit[i]), row.qx[i], row.qy[i], row.qdir[i]
-            )
+    def solve(perim):
+        """Resolve exit-chain hits over the O(perimeter) route table."""
+        route = {}
+        for row in perim:
+            t = (row.tile_x, row.tile_y)
+            for i in range(len(row.px)):
+                route[(t, row.px[i], row.py[i])] = (
+                    bool(row.phit[i]), row.qx[i], row.qy[i], row.qdir[i]
+                )
 
-    resolved: dict[tuple, bool] = {}
+        resolved: dict[tuple, bool] = {}
 
-    def resolve(c):
-        """Does the flow path entering at perimeter cell c hit the line
-        (anywhere downstream, incl. this tile)?"""
-        chain = []
-        cur = c
-        while True:
-            if cur in resolved:
-                val = resolved[cur]
-                break
-            hit, qx, qy, qdir = route[cur]
-            if hit:
-                val = True
-                break
-            t = cur[0]
-            if qdir == 0 or qx < 0:
-                val = False
-                break
+        def resolve(c):
+            """Does the flow path entering at perimeter cell c hit the
+            line (anywhere downstream, incl. this tile)?"""
+            chain = []
+            cur = c
+            while True:
+                if cur in resolved:
+                    val = resolved[cur]
+                    break
+                hit, qx, qy, qdir = route[cur]
+                if hit:
+                    val = True
+                    break
+                t = cur[0]
+                if qdir == 0 or qx < 0:
+                    val = False
+                    break
+                gx = t[0] * tw + qx + int(D8X[qdir])
+                gy = t[1] * th + qy + int(D8Y[qdir])
+                if not (0 <= gx < W and 0 <= gy < H):
+                    val = False
+                    break
+                t2 = (gx // tw, gy // th)
+                nxt_c = (t2, gx - t2[0] * tw, gy - t2[1] * th)
+                if nxt_c == cur or nxt_c in chain:
+                    val = False
+                    break
+                chain.append(cur)
+                cur = nxt_c
+            for cc in chain:
+                resolved[cc] = val
+            resolved[c] = val
+            return val
+
+        # per tile: exit cells whose DOWNSTREAM continuation (next tile
+        # onward) hits the line
+        per_tile: dict[tuple, set] = {}
+        for c, (hit, qx, qy, qdir) in route.items():
+            if qx < 0 or qdir == 0:
+                continue
+            t = c[0]
             gx = t[0] * tw + qx + int(D8X[qdir])
             gy = t[1] * th + qy + int(D8Y[qdir])
             if not (0 <= gx < W and 0 <= gy < H):
-                val = False
-                break
+                continue
             t2 = (gx // tw, gy // th)
-            nxt_c = (t2, gx - t2[0] * tw, gy - t2[1] * th)
-            if nxt_c == cur or nxt_c in chain:
-                val = False
-                break
-            chain.append(cur)
-            cur = nxt_c
-        for cc in chain:
-            resolved[cc] = val
-        resolved[c] = val
-        return val
+            entry = (t2, gx - t2[0] * tw, gy - t2[1] * th)
+            if entry in route and resolve(entry):
+                per_tile.setdefault(t, set()).add((qx, qy))
 
-    # per tile: exit cells whose DOWNSTREAM continuation (next tile
-    # onward) hits the line
-    per_tile: dict[tuple, set] = {}
-    for c, (hit, qx, qy, qdir) in route.items():
-        if qx < 0 or qdir == 0:
-            continue
-        t = c[0]
-        gx = t[0] * tw + qx + int(D8X[qdir])
-        gy = t[1] * th + qy + int(D8Y[qdir])
-        if not (0 <= gx < W and 0 <= gy < H):
-            continue
-        t2 = (gx // tw, gy // th)
-        entry = (t2, gx - t2[0] * tw, gy - t2[1] * th)
-        if entry in route and resolve(entry):
-            per_tile.setdefault(t, set()).add((qx, qy))
+        return [
+            (t[0], t[1], [int(k[0]) for k in s], [int(k[1]) for k in s])
+            for t, s in per_tile.items()
+        ]
 
-    rows2 = [
-        (t[0], t[1], [int(k[0]) for k in s], [int(k[1]) for k in s])
-        for t, s in per_tile.items()
-    ]
     schema2 = StructType([
         StructField("tile_x", IntegerType(), False),
         StructField("tile_y", IntegerType(), False),
         StructField("hx", ArrayType(IntegerType()), False),
         StructField("hy", ArrayType(IntegerType()), False),
     ])
-    joined = (
-        st.join(F.broadcast(spark.createDataFrame(rows2, schema2)),
-                ["tile_x", "tile_y"], "left")
-        if rows2
-        else st.withColumn("hx", F.lit(None).cast(
-            ArrayType(IntegerType())))
-        .withColumn("hy", F.lit(None).cast(ArrayType(IntegerType())))
+    from .solve import two_level_solve
+
+    hot_df = two_level_solve(
+        st.select("tile_x", "tile_y",
+                  "px", "py", "phit", "qx", "qy", "qdir"),
+        solve, schema2,
+        est_rows=meta.ntiles_x * meta.ntiles_y * 2 * (tw + th),
     )
+    joined = st.join(hot_df, ["tile_x", "tile_y"], "left")
 
     def wave2(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

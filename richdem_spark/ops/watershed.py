@@ -99,77 +99,75 @@ def _round1(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def watershed_labels(dirs: TiledRaster) -> TiledRaster:
     meta = dirs.meta
-    spark = dirs.df.sparkSession
     r1 = dirs.df.mapInPandas(_round1, _R1_SCHEMA).persist()
-
-    perim = r1.select(
-        "tile_x", "tile_y", "px", "py", "qx", "qy", "qdir", "pvalid"
-    ).collect()
 
     tw, th, W, H = meta.tile_w, meta.tile_h, meta.width, meta.height
 
     def gid(t, x, y):
         return (t[1] * th + y) * W + (t[0] * tw + x)
 
-    route = {}
-    for row in perim:
-        t = (row.tile_x, row.tile_y)
-        for i in range(len(row.px)):
-            route[(t, row.px[i], row.py[i])] = (
-                row.qx[i], row.qy[i], row.qdir[i], bool(row.pvalid[i])
-            )
+    def solve(perim):
+        """O(perimeter) route-chain resolution (FollowPath analogue)."""
+        route = {}
+        for row in perim:
+            t = (row.tile_x, row.tile_y)
+            for i in range(len(row.px)):
+                route[(t, row.px[i], row.py[i])] = (
+                    row.qx[i], row.qy[i], row.qdir[i],
+                    bool(row.pvalid[i])
+                )
 
-    resolved: dict[tuple, int] = {}
+        resolved: dict[tuple, int] = {}
 
-    def resolve(c):
-        """Terminal global id of the flow path entering at perimeter cell
-        c; iterative with path compression."""
-        chain = []
-        cur = c
-        while True:
-            if cur in resolved:
-                term = resolved[cur]
-                break
-            qx, qy, qdir, ok = route[cur]
-            if not ok:
-                term = -1
-                break
-            t = cur[0]
-            if qdir == 0:
-                term = gid(t, qx, qy)
-                break
-            gx = t[0] * tw + qx + int(D8X[qdir])
-            gy = t[1] * th + qy + int(D8Y[qdir])
-            if not (0 <= gx < W and 0 <= gy < H):
-                # drains off the DEM: the exit cell is the terminal
-                term = gid(t, qx, qy)
-                break
-            t2 = (gx // tw, gy // th)
-            nxt = (t2, gx - t2[0] * tw, gy - t2[1] * th)
-            if nxt in chain or nxt == cur:
-                term = gid(t, qx, qy)  # loop guard (rd_loop_check spirit)
-                break
-            chain.append(cur)
-            cur = nxt
-        for cc in chain:
-            resolved[cc] = term
-        resolved[c] = term
-        return term
+        def resolve(c):
+            """Terminal global id of the flow path entering at perimeter
+            cell c; iterative with path compression."""
+            chain = []
+            cur = c
+            while True:
+                if cur in resolved:
+                    term = resolved[cur]
+                    break
+                qx, qy, qdir, ok = route[cur]
+                if not ok:
+                    term = -1
+                    break
+                t = cur[0]
+                if qdir == 0:
+                    term = gid(t, qx, qy)
+                    break
+                gx = t[0] * tw + qx + int(D8X[qdir])
+                gy = t[1] * th + qy + int(D8Y[qdir])
+                if not (0 <= gx < W and 0 <= gy < H):
+                    # drains off the DEM: the exit cell is the terminal
+                    term = gid(t, qx, qy)
+                    break
+                t2 = (gx // tw, gy // th)
+                nxt = (t2, gx - t2[0] * tw, gy - t2[1] * th)
+                if nxt in chain or nxt == cur:
+                    term = gid(t, qx, qy)  # loop guard (rd_loop_check)
+                    break
+                chain.append(cur)
+                cur = nxt
+            for cc in chain:
+                resolved[cc] = term
+            resolved[c] = term
+            return term
 
-    # round 2 needs the resolved terminal per (tile, exit cell)
-    per_tile: dict[tuple, dict] = {}
-    for c, (qx, qy, qdir, ok) in route.items():
-        if not ok or qx < 0:
-            continue
-        t = c[0]
-        per_tile.setdefault(t, {})[(qx, qy)] = resolve(c)
+        per_tile: dict[tuple, dict] = {}
+        for c, (qx, qy, qdir, ok) in route.items():
+            if not ok or qx < 0:
+                continue
+            t = c[0]
+            per_tile.setdefault(t, {})[(qx, qy)] = resolve(c)
 
-    rows = [
-        (t[0], t[1],
-         [int(k[0]) for k in d], [int(k[1]) for k in d],
-         [int(v) for v in d.values()])
-        for t, d in per_tile.items()
-    ]
+        return [
+            (t[0], t[1],
+             [int(k[0]) for k in d], [int(k[1]) for k in d],
+             [int(v) for v in d.values()])
+            for t, d in per_tile.items()
+        ]
+
     schema = StructType([
         StructField("tile_x", IntegerType(), False),
         StructField("tile_y", IntegerType(), False),
@@ -177,14 +175,17 @@ def watershed_labels(dirs: TiledRaster) -> TiledRaster:
         StructField("ey", ArrayType(IntegerType()), False),
         StructField("eterm", ArrayType(LongType()), False),
     ])
-    joined = (
-        r1.join(F.broadcast(spark.createDataFrame(rows, schema)),
-                ["tile_x", "tile_y"], "left")
-        if rows
-        else r1.withColumn("ex", F.lit(None).cast(ArrayType(IntegerType())))
-        .withColumn("ey", F.lit(None).cast(ArrayType(IntegerType())))
-        .withColumn("eterm", F.lit(None).cast(ArrayType(LongType())))
+    from .solve import two_level_solve
+
+    routes_df = two_level_solve(
+        r1.select("tile_x", "tile_y",
+                  "px", "py", "qx", "qy", "qdir", "pvalid"),
+        solve, schema,
+        est_rows=meta.ntiles_x * meta.ntiles_y * 2 * (tw + th),
     )
+    # AQE broadcasts the (tiny at sandbox scale) route table at runtime;
+    # no forced hint so the executor-solve path stays shuffle-safe
+    joined = r1.join(routes_df, ["tile_x", "tile_y"], "left")
 
     def round2(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -154,3 +154,67 @@ def test_bucket_fill_propagates_nodata(spark):
     arr = out.to_array()
     assert arr[0, 1] == 5.0 and arr[0, 2] == 5.0  # edge-connected run
     assert arr[3, 0] == -1.0  # nodata untouched
+
+
+def test_surface_area_exact_at_seams(spark):
+    """Multi-tile SurfaceArea == single-grid kernel on random grids: the
+    halo pass gives seam triangles their true neighbour heights (was
+    centre-substituted).  Only float summation order differs."""
+    from richdem_spark.api import SurfaceArea
+    from richdem_spark.kernels.terrain import dem_surface_area
+    from richdem_spark.tiles import raster_from_array
+
+    rng = np.random.default_rng(4)
+    dem = rng.normal(50, 10, (23, 29))
+    dem[7:9, 11:15] = -99.0  # nodata block crossing a seam
+    want = dem_surface_area(dem, -99.0, 1.0, 1.0)
+    for tw, th in [(8, 8), (5, 9), (23, 29)]:
+        tr = raster_from_array(spark, dem, tile_w=tw, tile_h=th,
+                               nodata=-99.0)
+        got = SurfaceArea(tr)
+        assert np.isclose(got, want, rtol=1e-12), (tw, th, got, want)
+
+
+def test_executor_solve_path(spark, monkeypatch):
+    """Force the single-partition executor-solve branch (driver cap 0)
+    for every two-level global solve and verify identical outputs:
+    BucketFill, upslope routes, watershed labels, flats alias/heights,
+    dephier border hops (VERDICT r2 'Next round #5')."""
+    import richdem_spark.ops.solve as solve_mod
+    from richdem_spark.api import (
+        FillDepressions,
+        FlowDirectionsD8,
+        ResolveFlats,
+        WatershedLabels,
+    )
+    from richdem_spark.constants import TOPO_D4
+    from richdem_spark.ops.dephier import depression_hierarchy
+    from richdem_spark.ops.regions import (
+        bucket_fill_from_edges,
+        upslope_cells,
+    )
+    from richdem_spark.tiles import raster_from_array
+
+    rng = np.random.default_rng(17)
+    dem = rng.integers(0, 9, (18, 20)).astype(np.float64)
+    tr = raster_from_array(spark, dem, tile_w=7, tile_h=6)
+    dirs = FlowDirectionsD8(FillDepressions(tr)).persist()
+
+    def run_all():
+        bf = bucket_fill_from_edges(
+            raster_from_array(spark, (dem < 3).astype(np.float64), 7, 6),
+            1.0, 9.0, TOPO_D4).to_array()
+        up = upslope_cells(dirs, 2, 2, 15, 15).to_array()
+        ws = WatershedLabels(tr).to_array()
+        fl = ResolveFlats(FillDepressions(tr)).to_array()
+        dd, lab, _ = depression_hierarchy(tr)
+        return bf, up, ws, fl, lab.to_array(), len(dd)
+
+    want = run_all()
+    monkeypatch.setattr(solve_mod, "DRIVER_SOLVE_MAX_ROWS", 0)
+    got = run_all()
+    for a, b in zip(want, got):
+        if isinstance(a, np.ndarray):
+            assert np.array_equal(a, b)
+        else:
+            assert a == b
