@@ -2,20 +2,27 @@
 
 The reference parallelizes only D8 accumulation
 (``programs/parallel_d8_accum``); MFD spreads flow across up to 8
-neighbours, so the perimeter-graph trick does not apply.  We exploit
-linearity instead: accumulation is linear in its sources, so
+neighbours, so the single-exit perimeter-graph trick does not apply.  We
+exploit linearity instead: accumulation is linear in its sources, so
 
-1. **Round 0** (halo + mapInPandas): per-tile proportions from the haloed
-   elevations (FM_*), local accumulation of in-tile unit sources, and the
-   mass crossing each seam (prop x accum on border cells).
-2. **Round k**: crossing mass is injected as point sources at the entry
-   cells of the receiving tiles and propagated with the same vectorized
-   kernel; new crossings iterate until the total in-flight mass is zero.
-   Rounds are bounded by the longest flow path's tile-transition count —
-   O(grid diameter / tile size) worst case, typically a handful.
+1. **Round 0**: per-tile proportions from the haloed elevations (FM_*),
+   then ONE exchange of proportions border strips so every tile holds
+   the PADDED proportions tensor (its own cells + the true proportions
+   of the 1-ring of neighbouring cells).  Unit sources on the tile's own
+   cells are propagated over the padded tensor: mass that meanders
+   through the neighbour ring and back is routed in-round instead of
+   ping-ponging one seam crossing per round (a river hugging a tile
+   seam crosses it hundreds of times — routing through the ring
+   collapsed a 233-round convergence at 1M cells to a handful).
+2. **Round k**: mass leaving the padded view is injected at its target
+   cell in the owning tile and propagated the same way; mass deposited
+   ON ring cells is emitted as credit rows (accumulated by the owning
+   tile, not re-propagated — the sender already routed it onward).
+   Rounds iterate until no mass is in flight; each round ships only
+   O(perimeter) injection/credit rows.
 
-Each round shuffles only O(perimeter) injection rows; the proportions
-tensor is computed once and persisted with the running totals.
+Results equal the single-grid oracle to float tolerance (summation
+order differs); tests/test_spark_ops.py asserts allclose at 1e-9.
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
-    StringType,
+    LongType,
     StructField,
     StructType,
 )
@@ -38,7 +45,6 @@ from pyspark.sql.types import (
 from ..constants import D8X, D8Y, NO_DATA_GEN
 from ..kernels import flowmet as fmk
 from ..tiles import (
-    TILE_SCHEMA,
     RasterMeta,
     TiledRaster,
     assemble_padded,
@@ -47,20 +53,44 @@ from ..tiles import (
     unpack,
 )
 
-_STATE_SCHEMA = StructType(
+_PROPS_SCHEMA = StructType(
     [
         StructField("tile_x", IntegerType(), False),
         StructField("tile_y", IntegerType(), False),
         StructField("width", IntegerType(), False),
         StructField("height", IntegerType(), False),
         StructField("nodata", DoubleType(), True),
-        StructField("props", BinaryType(), False),   # float32 h*w*9
-        StructField("accum", BinaryType(), False),   # float64 running total
-        StructField("ox", ArrayType(IntegerType()), False),
-        StructField("oy", ArrayType(IntegerType()), False),
-        StructField("otx", ArrayType(IntegerType()), False),
-        StructField("oty", ArrayType(IntegerType()), False),
+        StructField("props", BinaryType(), False),   # float32 h*w*9 core
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("pt", IntegerType(), False),
+        StructField("pl", IntegerType(), False),
+        StructField("ph", IntegerType(), False),
+        StructField("pw", IntegerType(), False),
+        StructField("nodata", DoubleType(), True),
+        StructField("pprops", BinaryType(), False),  # float32 ph*pw*9
+        StructField("accum", BinaryType(), False),   # float64 core h*w
+        # out rows: global coords + amount + kind (0 inject, 1 credit)
+        StructField("ogx", ArrayType(LongType()), False),
+        StructField("ogy", ArrayType(LongType()), False),
         StructField("oval", ArrayType(DoubleType()), False),
+        StructField("okind", ArrayType(IntegerType()), False),
+    ]
+)
+
+_STRIP_SCHEMA = StructType(
+    [
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("slot", IntegerType(), False),
+        StructField("strip", BinaryType(), False),
     ]
 )
 
@@ -73,41 +103,148 @@ _FMS = {
 }
 
 
-def _outflows(props, acc, tile_x, tile_y, w, h, meta):
-    """Seam crossings: (local x, y, target tile, amount) summed per
-    (slot,cell); vectorized over the border ring."""
-    oxs, oys, otxs, otys, ovals = [], [], [], [], []
+# proportions-halo depth: mass meandering within this many cells of a
+# seam is routed in-round; only deeper dives cost another round.  Strip
+# bytes per tile side = HALO_K * side * 9 * 4 — still O(perimeter).
+HALO_K = 8
+
+
+def _emit_props_strips(meta: RasterMeta):
+    """Depth-HALO_K border strips of the (h, w, 9) proportions tensor,
+    keyed by the RECEIVING tile (tiles._emit_halo_strips slot mapping
+    applied to the 3-D tensor, k rows/cols deep)."""
+    ntx, nty = meta.ntiles_x, meta.ntiles_y
+    k = HALO_K
+
+    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"tile_x": [], "tile_y": [], "slot": [], "strip": []}
+            for r in pdf.itertuples():
+                a = np.frombuffer(r.props, np.float32).reshape(
+                    r.height, r.width, 9)
+                pieces = {
+                    3: a[-k:, :, :], 7: a[:k, :, :],
+                    1: a[:, -k:, :], 5: a[:, :k, :],
+                    2: a[-k:, -k:, :], 4: a[-k:, :k, :],
+                    8: a[:k, -k:, :], 6: a[:k, :k, :],
+                }
+                for slot, piece in pieces.items():
+                    ntx_ = r.tile_x - int(D8X[slot])
+                    nty_ = r.tile_y - int(D8Y[slot])
+                    if 0 <= ntx_ < ntx and 0 <= nty_ < nty:
+                        out["tile_x"].append(ntx_)
+                        out["tile_y"].append(nty_)
+                        out["slot"].append(slot)
+                        out["strip"].append(pack(piece))
+            yield pd.DataFrame(out)
+
+    return emit
+
+
+def _assemble_props(core: np.ndarray, strips, h, w, meta, tx, ty):
+    """Padded (ph, pw, 9) tensor with depth-HALO_K sides; unpadded on
+    global-edge sides.  Piece thicknesses follow the neighbouring tiles'
+    actual dims (ragged edges send thinner strips)."""
+    slot_map = dict(strips)
+    k = HALO_K
+
+    def dims(ddx, ddy):
+        tx2, ty2 = tx + ddx, ty + ddy
+        if not (0 <= tx2 < meta.ntiles_x and 0 <= ty2 < meta.ntiles_y):
+            return 0, 0
+        w2, h2 = meta.tile_dims(tx2, ty2)
+        return min(k, w2), min(k, h2)
+
+    _, pt = dims(0, -1)
+    _, pb = dims(0, 1)
+    pl, _ = dims(-1, 0)
+    pr, _ = dims(1, 0)
+    pt = pt if 3 in slot_map else 0
+    pb = pb if 7 in slot_map else 0
+    pl = pl if 1 in slot_map else 0
+    pr = pr if 5 in slot_map else 0
+    P = np.zeros((h + pt + pb, w + pl + pr, 9), dtype=np.float32)
+    P[pt:pt + h, pl:pl + w, :] = core
+
+    def put(slot, ys, xs, sh):
+        if slot in slot_map and sh[0] and sh[1]:
+            P[ys, xs, :] = np.frombuffer(
+                slot_map[slot], np.float32).reshape(sh)
+
+    put(3, slice(0, pt), slice(pl, pl + w), (pt, w, 9))
+    put(7, slice(pt + h, pt + h + pb), slice(pl, pl + w), (pb, w, 9))
+    put(1, slice(pt, pt + h), slice(0, pl), (h, pl, 9))
+    put(5, slice(pt, pt + h), slice(pl + w, pl + w + pr), (h, pr, 9))
+    if pt and pl:
+        cw, ch = dims(-1, -1)
+        put(2, slice(pt - ch, pt), slice(pl - cw, pl), (ch, cw, 9))
+    if pt and pr:
+        cw, ch = dims(1, -1)
+        put(4, slice(pt - ch, pt), slice(pl + w, pl + w + cw),
+            (ch, cw, 9))
+    if pb and pr:
+        cw, ch = dims(1, 1)
+        put(6, slice(pt + h, pt + h + ch), slice(pl + w, pl + w + cw),
+            (ch, cw, 9))
+    if pb and pl:
+        cw, ch = dims(-1, 1)
+        put(8, slice(pt + h, pt + h + ch), slice(pl - cw, pl),
+            (ch, cw, 9))
+    return P, pt, pl
+
+
+def _route(P, weights_padded, tile_x, tile_y, pt, pl, h, w, meta):
+    """Propagate ``weights_padded`` over the padded proportions tensor.
+    Returns (core additions, out rows [gx, gy, val, kind]): mass landing
+    on ring cells -> credit rows for the owning tile; mass leaving the
+    padded view -> injection rows at its target cell."""
+    add = fmk.prop_flow_accum(P, weights=weights_padded)
+    addv = np.where(add < 0, 0.0, add)
+    ph, pw = addv.shape
+    x0 = tile_x * meta.tile_w - pl       # global coord of P[0,0]
+    y0 = tile_y * meta.tile_h - pt
+
+    ogx, ogy, oval, okind = [], [], [], []
+
+    # credits: ring additions belong to the neighbouring owner
+    ring = np.ones((ph, pw), bool)
+    ring[pt:pt + h, pl:pl + w] = False
+    m = ring & (addv > 0)
+    if m.any():
+        ys, xs = np.nonzero(m)
+        ogx.append(xs + x0)
+        ogy.append(ys + y0)
+        oval.append(addv[m])
+        okind.append(np.ones(len(ys), np.int32))
+
+    # injections: flow from any padded cell to outside the padded view
+    yy, xx = np.mgrid[0:ph, 0:pw]
     for n in range(1, 9):
-        p = props[..., n]
+        p = P[..., n].astype(np.float64)
         dx, dy = int(D8X[n]), int(D8Y[n])
-        # cells whose slot-n target lies outside the tile
-        yy, xx = np.mgrid[0:h, 0:w]
         tx_ = xx + dx
         ty_ = yy + dy
-        off = (tx_ < 0) | (tx_ >= w) | (ty_ < 0) | (ty_ >= h)
-        m = off & (p > 0) & (acc > 0)
-        if not m.any():
+        off = (tx_ < 0) | (tx_ >= pw) | (ty_ < 0) | (ty_ >= ph)
+        mm = off & (p > 0) & (addv > 0)
+        if not mm.any():
             continue
-        gx = tile_x * meta.tile_w + tx_[m]
-        gy = tile_y * meta.tile_h + ty_[m]
-        ing = (gx >= 0) & (gx < meta.width) & (gy >= 0) & (gy < meta.height)
+        gx = tx_[mm] + x0
+        gy = ty_[mm] + y0
+        ing = (gx >= 0) & (gx < meta.width) & (gy >= 0) \
+            & (gy < meta.height)
         if not ing.any():
             continue
-        amount = (p[m] * acc[m])[ing]
-        gx, gy = gx[ing], gy[ing]
-        ttx = gx // meta.tile_w
-        tty = gy // meta.tile_h
-        oxs.append(gx - ttx * meta.tile_w)
-        oys.append(gy - tty * meta.tile_h)
-        otxs.append(ttx)
-        otys.append(tty)
-        ovals.append(amount)
-    if not oxs:
-        z = np.array([], dtype=np.int64)
-        return z, z, z, z, np.array([])
-    return (np.concatenate(oxs), np.concatenate(oys),
-            np.concatenate(otxs), np.concatenate(otys),
-            np.concatenate(ovals))
+        ogx.append(gx[ing])
+        ogy.append(gy[ing])
+        oval.append((p[mm] * addv[mm])[ing])
+        okind.append(np.zeros(int(ing.sum()), np.int32))
+
+    core_add = addv[pt:pt + h, pl:pl + w]
+    if ogx:
+        return (core_add, np.concatenate(ogx), np.concatenate(ogy),
+                np.concatenate(oval), np.concatenate(okind))
+    z = np.array([], dtype=np.int64)
+    return core_add, z, z, np.array([]), np.array([], dtype=np.int32)
 
 
 def flow_accumulation_mfd(
@@ -116,10 +253,12 @@ def flow_accumulation_mfd(
 ) -> TiledRaster:
     meta = tr.meta
     fm = _FMS[method]
+    tw, th = meta.tile_w, meta.tile_h
 
-    def round0(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # ---- core proportions from the elevation halo -------------------
+    def props_wave(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {f.name: [] for f in _STATE_SCHEMA.fields}
+            out = {f.name: [] for f in _PROPS_SCHEMA.fields}
             for r in pdf.itertuples():
                 core = unpack(r.data, r.height, r.width, r.dtype)
                 strips = ([(s["slot"], s["strip"]) for s in r.halo]
@@ -127,53 +266,98 @@ def flow_accumulation_mfd(
                 fill = r.nodata if r.nodata is not None else 0.0
                 padded, pt, pl = assemble_padded(core, strips, r.dtype,
                                                  fill)
-                props_p = fm(padded.astype(np.float64), r.nodata, exponent)
-                props = props_p[pt : pt + r.height, pl : pl + r.width, :]
-                props = np.ascontiguousarray(props, dtype=np.float32)
-                acc = fmk.prop_flow_accum(props)
-                accv = np.where(acc < 0, 0.0, acc)
-                ox, oy, otx, oty, ov = _outflows(
-                    props, accv, r.tile_x, r.tile_y, r.width, r.height,
-                    meta,
-                )
+                props_p = fm(padded.astype(np.float64), r.nodata,
+                             exponent)
+                props = props_p[pt:pt + r.height, pl:pl + r.width, :]
                 out["tile_x"].append(r.tile_x)
                 out["tile_y"].append(r.tile_y)
                 out["width"].append(r.width)
                 out["height"].append(r.height)
                 out["nodata"].append(r.nodata)
-                out["props"].append(pack(props))
-                out["accum"].append(pack(acc))
-                out["ox"].append(ox.astype("int32").tolist())
-                out["oy"].append(oy.astype("int32").tolist())
-                out["otx"].append(otx.astype("int32").tolist())
-                out["oty"].append(oty.astype("int32").tolist())
-                out["oval"].append(ov.tolist())
+                out["props"].append(pack(
+                    np.ascontiguousarray(props, dtype=np.float32)))
             yield pd.DataFrame(out)
 
-    state = halo_join(tr).mapInPandas(round0, _STATE_SCHEMA).persist()
+    pdf_props = halo_join(tr).mapInPandas(props_wave, _PROPS_SCHEMA) \
+        .localCheckpoint(eager=True)
 
+    # ---- exchange props strips; round 0 over the padded tensor ------
+    strips_df = pdf_props.mapInPandas(
+        _emit_props_strips(meta), _STRIP_SCHEMA)
+    packed = strips_df.groupBy("tile_x", "tile_y").agg(
+        F.collect_list(F.struct("slot", "strip")).alias("phalo")
+    )
+    perim_bytes = (meta.ntiles_x * meta.ntiles_y
+                   * 2 * (tw + th) * 9 * 4 * 4)
+    if perim_bytes <= 256 * 1024 * 1024:
+        packed = F.broadcast(packed)
+    joined0 = pdf_props.join(packed, ["tile_x", "tile_y"], "left")
+
+    def round0(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in _STATE_SCHEMA.fields}
+            for r in pdf.itertuples():
+                h, w = r.height, r.width
+                core = np.frombuffer(r.props, np.float32).reshape(
+                    h, w, 9)
+                strips = ([(s["slot"], s["strip"]) for s in r.phalo]
+                          if r.phalo is not None else [])
+                P, pt, pl = _assemble_props(
+                    core, strips, h, w, meta, r.tile_x, r.tile_y)
+                ph, pw = P.shape[:2]
+                wts = np.zeros((ph, pw))
+                flags = P[pt:pt + h, pl:pl + w, 0]
+                wts[pt:pt + h, pl:pl + w] = (
+                    flags != NO_DATA_GEN).astype(np.float64)
+                core_add, gx, gy, vals, kinds = _route(
+                    P, wts, r.tile_x, r.tile_y, pt, pl, h, w, meta)
+                acc = np.where(
+                    core[..., 0] == NO_DATA_GEN, -1.0, core_add)
+                out["tile_x"].append(r.tile_x)
+                out["tile_y"].append(r.tile_y)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pt"].append(pt)
+                out["pl"].append(pl)
+                out["ph"].append(ph)
+                out["pw"].append(pw)
+                out["nodata"].append(r.nodata)
+                out["pprops"].append(pack(P))
+                out["accum"].append(pack(acc))
+                out["ogx"].append(gx.tolist())
+                out["ogy"].append(gy.tolist())
+                out["oval"].append(vals.tolist())
+                out["okind"].append([int(k) for k in kinds])
+            yield pd.DataFrame(out)
+
+    state = joined0.mapInPandas(round0, _STATE_SCHEMA) \
+        .localCheckpoint(eager=True)
+
+    import os as _os
+
+    _dbg = _os.environ.get("RICHDEM_SPARK_DEBUG_MFD")
     for _round in range(max_rounds):
-        # loop-control scalar only — the injection rows themselves never
-        # touch the driver: they are exploded, re-keyed by target tile
-        # and shuffled straight back (one O(perimeter) exchange)
-        n_out = state.agg(
-            F.sum(F.size("ox")).alias("n")
-        ).first()["n"]
+        # loop-control scalar only — injection/credit rows never touch
+        # the driver: exploded, re-keyed by owner tile, shuffled back
+        n_out = state.agg(F.sum(F.size("ogx")).alias("n")).first()["n"]
+        if _dbg:
+            print(f"MFDDBG round={_round} n_out={n_out}", flush=True)
         if not n_out:
             break
         inj_df = (
             state.select(
                 F.explode(
-                    F.arrays_zip("ox", "oy", "otx", "oty", "oval")
+                    F.arrays_zip("ogx", "ogy", "oval", "okind")
                 ).alias("o")
             )
             .select(
-                F.col("o.otx").alias("tile_x"),
-                F.col("o.oty").alias("tile_y"),
+                (F.col("o.ogx") / tw).cast("int").alias("tile_x"),
+                (F.col("o.ogy") / th).cast("int").alias("tile_y"),
                 F.struct(
-                    F.col("o.ox").alias("ix"),
-                    F.col("o.oy").alias("iy"),
+                    F.col("o.ogx").alias("gx"),
+                    F.col("o.ogy").alias("gy"),
                     F.col("o.oval").alias("iv"),
+                    F.col("o.okind").alias("ik"),
                 ).alias("inj"),
             )
             .groupBy("tile_x", "tile_y")
@@ -186,48 +370,59 @@ def flow_accumulation_mfd(
                 out = {f.name: [] for f in _STATE_SCHEMA.fields}
                 for r in pdf.itertuples():
                     h, w = r.height, r.width
+                    pt, pl = r.pt, r.pl
                     acc = unpack(r.accum, h, w, "float64").copy()
-                    props = np.frombuffer(
-                        r.props, dtype=np.float32
-                    ).reshape(h, w, 9)
+                    z = np.array([], dtype=np.int64)
+                    gx = gy = z
+                    vals = np.array([])
+                    kinds = np.array([], dtype=np.int32)
                     if r.inj is not None and len(r.inj):
-                        inj = np.zeros((h, w))
-                        ixs = np.array([s["ix"] for s in r.inj],
+                        P = np.frombuffer(r.pprops, np.float32) \
+                            .reshape(r.ph, r.pw, 9)
+                        igx = np.array([s["gx"] for s in r.inj],
                                        dtype=np.int64)
-                        iys = np.array([s["iy"] for s in r.inj],
+                        igy = np.array([s["gy"] for s in r.inj],
                                        dtype=np.int64)
                         ivs = np.array([s["iv"] for s in r.inj])
-                        np.add.at(inj, (iys, ixs), ivs)
-                        add = fmk.prop_flow_accum(props, weights=inj)
-                        addv = np.where(add < 0, 0.0, add)
-                        acc = np.where(acc < 0, acc, acc + addv)
-                        ox, oy, otx, oty, ov = _outflows(
-                            props, addv, r.tile_x, r.tile_y, w, h, meta,
-                        )
-                    else:
-                        z = np.array([], dtype=np.int64)
-                        ox = oy = otx = oty = z
-                        ov = np.array([])
+                        iks = np.array([s["ik"] for s in r.inj],
+                                       dtype=np.int64)
+                        lx = igx - r.tile_x * tw
+                        ly = igy - r.tile_y * th
+                        cr = iks == 1
+                        if cr.any():
+                            valid = acc[ly[cr], lx[cr]] >= 0
+                            np.add.at(
+                                acc, (ly[cr][valid], lx[cr][valid]),
+                                ivs[cr][valid])
+                        ij = ~cr
+                        if ij.any():
+                            wts = np.zeros((r.ph, r.pw))
+                            np.add.at(wts, (ly[ij] + pt, lx[ij] + pl),
+                                      ivs[ij])
+                            core_add, gx, gy, vals, kinds = _route(
+                                P, wts, r.tile_x, r.tile_y, pt, pl,
+                                h, w, meta)
+                            acc = np.where(acc < 0, acc, acc + core_add)
                     out["tile_x"].append(r.tile_x)
                     out["tile_y"].append(r.tile_y)
                     out["width"].append(w)
                     out["height"].append(h)
+                    out["pt"].append(pt)
+                    out["pl"].append(pl)
+                    out["ph"].append(r.ph)
+                    out["pw"].append(r.pw)
                     out["nodata"].append(r.nodata)
-                    out["props"].append(r.props)
+                    out["pprops"].append(r.pprops)
                     out["accum"].append(pack(acc))
-                    out["ox"].append(ox.astype("int32").tolist())
-                    out["oy"].append(oy.astype("int32").tolist())
-                    out["otx"].append(otx.astype("int32").tolist())
-                    out["oty"].append(oty.astype("int32").tolist())
-                    out["oval"].append(ov.tolist())
+                    out["ogx"].append(gx.tolist())
+                    out["ogy"].append(gy.tolist())
+                    out["oval"].append(vals.tolist())
+                    out["okind"].append([int(k) for k in kinds])
                 yield pd.DataFrame(out)
 
         # localCheckpoint truncates lineage so the plan stays flat
-        # across rounds
-        new_state = joined.mapInPandas(step, _STATE_SCHEMA) \
+        state = joined.mapInPandas(step, _STATE_SCHEMA) \
             .localCheckpoint(eager=True)
-        state.unpersist()
-        state = new_state
 
     out_df = state.select(
         "tile_x", "tile_y", "width", "height",

