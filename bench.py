@@ -104,6 +104,9 @@ def main() -> None:
     rep_totals = [round(sum(r.values()), 3) for r in reps]
 
     total = round(sum(timings.values()), 3)
+    # like-for-like comparable vs rounds 1-2 (single cold pass): rep 1
+    # pays JVM/JIT + Python-worker + Arrow warm-up, as those rounds did
+    cold_total = rep_totals[0]
     cells = GRID * GRID
     hydro = (
         timings["fill_depressions"] + timings["fill_materialize"]
@@ -119,6 +122,7 @@ def main() -> None:
         "queries": timings,
         "reps": len(reps),
         "rep_totals": rep_totals,
+        "cold_total": cold_total,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cells": cells,
         "pages": N_PAGES,

@@ -356,9 +356,23 @@ def BreachDepressions(
     epsilon: bool = False,
     max_path_len: int = 2**31,
     max_depth: float = float("inf"),
+    max_rounds: int | None = None,
+    max_cells: int | None = None,
 ) -> TiledRaster:
     """Lindsay 2016 breaching (depressions/Lindsay2016.hpp:227-423),
     fully distributed at any raster size (no gather, no size gate).
+
+    ``max_cells`` is accepted for back-compat with the pre-round-3
+    gated signature and ignored (deprecation-warned); there is no size
+    gate.  ``max_rounds`` caps the seam-crossing walk rounds; by default
+    it is derived from the raster geometry (a true upper bound — see
+    ops/breach.py), so the cap cannot fire on valid input.
+
+    Tie-channel note (user-facing): carving follows the drainage tree of
+    the filled surface, not the reference's heap-insertion-order
+    backlinks, so through *exactly tied* ridges a different — equally
+    valid, equally deep — breach channel may be carved than upstream
+    RichDEM's.  All 7 reference goldens reproduce byte-identically.
 
     The tiled decomposition (ops/breach.py) replays the global
     Priority-Flood backlink forest per tile using the distributed fill's
@@ -370,8 +384,17 @@ def BreachDepressions(
     kernel stays in kernels/breach.py for reference parity)."""
     from .ops.breach import breach_depressions_tiled
 
+    if max_cells is not None:
+        import warnings
+
+        warnings.warn(
+            "BreachDepressions(max_cells=...) is deprecated and ignored: "
+            "breaching is fully distributed with no size gate",
+            DeprecationWarning, stacklevel=2,
+        )
     return breach_depressions_tiled(
-        tr, mode, epsilon, fill, max_path_len, max_depth
+        tr, mode, epsilon, fill, max_path_len, max_depth,
+        max_rounds=max_rounds,
     )
 
 

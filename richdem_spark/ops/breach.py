@@ -51,8 +51,20 @@ decomposition rests on three observations:
 
 Communication per breach: one distributed fill (two O(perimeter)
 exchanges), two halo strip broadcasts, one continuation exchange per
-seam crossing of the deepest breach path, one update shuffle.  Tile
+PADDED-VIEW exit of the deepest breach path, one update shuffle.  Tile
 interiors are never re-shuffled.
+
+Walk rounds are bounded by geometry, not by a magic constant: each tile
+walks over a depth-``WALK_HALO_K`` padded (raised, parent) view — the
+same treatment that collapsed MFD's seam ping-pong (ops/mfd.py) — so a
+path hugging a seam no longer costs one round per crossing.  A
+continuation is only emitted when the walk exits the padded view, which
+from any core cell takes at least ``WALK_HALO_K`` steps; breach paths
+descend a forest (no cycles, length <= W*H), so
+``ceil(W*H / WALK_HALO_K) + 2`` rounds is a TRUE upper bound and the
+``max_rounds`` RuntimeError cannot fire on valid input (it remains as a
+corruption tripwire and is overridable through the BreachDepressions
+API).
 """
 
 from __future__ import annotations
@@ -100,6 +112,31 @@ _PARENT_SCHEMA = StructType([
     StructField("width", IntegerType(), False),
     StructField("height", IntegerType(), False),
     StructField("parent", BinaryType(), False),   # uint8 dir to parent
+])
+
+# walk-halo depth: a breach path within this many cells of a seam keeps
+# walking in-round; only deeper dives into a neighbour cost another
+# round.  Strip bytes per tile side = K * side * 9 — still O(perimeter).
+WALK_HALO_K = 8
+
+_WSTATE_SCHEMA = StructType([
+    StructField("tile_x", IntegerType(), False),
+    StructField("tile_y", IntegerType(), False),
+    StructField("w", IntegerType(), False),
+    StructField("h", IntegerType(), False),
+    StructField("pt", IntegerType(), False),
+    StructField("pl", IntegerType(), False),
+    StructField("ph", IntegerType(), False),
+    StructField("pw", IntegerType(), False),
+    StructField("praised", BinaryType(), False),  # float64 ph*pw
+    StructField("pparent", BinaryType(), False),  # uint8 ph*pw
+])
+
+_WSTRIP_SCHEMA = StructType([
+    StructField("tile_x", IntegerType(), False),
+    StructField("tile_y", IntegerType(), False),
+    StructField("slot", IntegerType(), False),
+    StructField("strip", BinaryType(), False),
 ])
 
 _TRACE_SCHEMA = StructType([
@@ -194,12 +231,138 @@ def _pit_raise_wave(meta, eps_gradients: bool):
     return run
 
 
+def _build_walk_state(walk_state, meta):
+    """Depth-``WALK_HALO_K`` padded (raised, parent) view per tile: ONE
+    strip exchange (O(perimeter)), strips broadcast under the same
+    budget as halo_join.  Each strip blob is the float64 raised piece
+    followed by the uint8 parent piece; piece shapes are re-derived from
+    the slot geometry at assembly (ragged edges send thinner strips,
+    exactly as ops/mfd.py:_assemble_props)."""
+    ntx, nty = meta.ntiles_x, meta.ntiles_y
+    tw, th = meta.tile_w, meta.tile_h
+    k = WALK_HALO_K
+
+    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"tile_x": [], "tile_y": [], "slot": [], "strip": []}
+            for r in pdf.itertuples():
+                h, w = r.height, r.width
+                a = unpack(r.raised, h, w, "float64")
+                p = unpack(r.parent, h, w, "uint8")
+                pieces = {
+                    3: (a[-k:, :], p[-k:, :]),
+                    7: (a[:k, :], p[:k, :]),
+                    1: (a[:, -k:], p[:, -k:]),
+                    5: (a[:, :k], p[:, :k]),
+                    2: (a[-k:, -k:], p[-k:, -k:]),
+                    4: (a[-k:, :k], p[-k:, :k]),
+                    8: (a[:k, -k:], p[:k, -k:]),
+                    6: (a[:k, :k], p[:k, :k]),
+                }
+                for slot, (ap, pp) in pieces.items():
+                    ntx_ = r.tile_x - int(D8X[slot])
+                    nty_ = r.tile_y - int(D8Y[slot])
+                    if 0 <= ntx_ < ntx and 0 <= nty_ < nty:
+                        out["tile_x"].append(ntx_)
+                        out["tile_y"].append(nty_)
+                        out["slot"].append(slot)
+                        out["strip"].append(pack(ap) + pack(pp))
+            yield pd.DataFrame(out)
+
+    strips = walk_state.mapInPandas(emit, _WSTRIP_SCHEMA)
+    packed = strips.groupBy("tile_x", "tile_y").agg(
+        F.collect_list(F.struct("slot", "strip")).alias("whalo")
+    )
+    perim_bytes = ntx * nty * 2 * (tw + th) * k * 9 * 4
+    if perim_bytes <= 256 * 1024 * 1024:
+        packed = F.broadcast(packed)
+    joined = walk_state.join(packed, ["tile_x", "tile_y"], "left")
+
+    def assemble(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in _WSTATE_SCHEMA.fields}
+            for r in pdf.itertuples():
+                h, w = r.height, r.width
+                tx, ty = r.tile_x, r.tile_y
+                a = unpack(r.raised, h, w, "float64")
+                p = unpack(r.parent, h, w, "uint8")
+                slot_map = ({s["slot"]: s["strip"] for s in r.whalo}
+                            if r.whalo is not None else {})
+
+                def dims(ddx, ddy):
+                    tx2, ty2 = tx + ddx, ty + ddy
+                    if not (0 <= tx2 < ntx and 0 <= ty2 < nty):
+                        return 0, 0
+                    w2, h2 = meta.tile_dims(tx2, ty2)
+                    return min(k, w2), min(k, h2)
+
+                _, pt = dims(0, -1)
+                _, pb = dims(0, 1)
+                pl, _ = dims(-1, 0)
+                pr, _ = dims(1, 0)
+                pt = pt if 3 in slot_map else 0
+                pb = pb if 7 in slot_map else 0
+                pl = pl if 1 in slot_map else 0
+                pr = pr if 5 in slot_map else 0
+                ph, pw = h + pt + pb, w + pl + pr
+                A = np.full((ph, pw), np.inf)
+                P = np.zeros((ph, pw), np.uint8)
+                A[pt:pt + h, pl:pl + w] = a
+                P[pt:pt + h, pl:pl + w] = p
+
+                def put(slot, ys, xs, sh):
+                    if slot in slot_map and sh[0] and sh[1]:
+                        blob = slot_map[slot]
+                        n = sh[0] * sh[1]
+                        A[ys, xs] = np.frombuffer(
+                            blob, np.float64, n).reshape(sh)
+                        P[ys, xs] = np.frombuffer(
+                            blob, np.uint8, n, offset=8 * n).reshape(sh)
+
+                put(3, slice(0, pt), slice(pl, pl + w), (pt, w))
+                put(7, slice(pt + h, ph), slice(pl, pl + w), (pb, w))
+                put(1, slice(pt, pt + h), slice(0, pl), (h, pl))
+                put(5, slice(pt, pt + h), slice(pl + w, pw), (h, pr))
+                if pt and pl:
+                    cw, ch = dims(-1, -1)
+                    put(2, slice(pt - ch, pt), slice(pl - cw, pl),
+                        (ch, cw))
+                if pt and pr:
+                    cw, ch = dims(1, -1)
+                    put(4, slice(pt - ch, pt),
+                        slice(pl + w, pl + w + cw), (ch, cw))
+                if pb and pr:
+                    cw, ch = dims(1, 1)
+                    put(6, slice(pt + h, pt + h + ch),
+                        slice(pl + w, pl + w + cw), (ch, cw))
+                if pb and pl:
+                    cw, ch = dims(-1, 1)
+                    put(8, slice(pt + h, pt + h + ch),
+                        slice(pl - cw, pl), (ch, cw))
+                out["tile_x"].append(tx)
+                out["tile_y"].append(ty)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["pt"].append(pt)
+                out["pl"].append(pl)
+                out["ph"].append(ph)
+                out["pw"].append(pw)
+                out["praised"].append(pack(A))
+                out["pparent"].append(pack(P))
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(assemble, _WSTATE_SCHEMA)
+
+
 def _walk_round(meta, mode, eps, max_depth, carve):
     """One round of pit-path walking: each trace walks the parent forest
-    through its current tile, emitting carve updates (carve=True) or
-    accumulating (pathlen, pathdepth) (carve=False), plus continuation
-    rows at seam crossings.  Walks check the PRISTINE (post-pit-raise)
-    surface and min-combine — order-independent (docstring point 2)."""
+    through its current tile's depth-``WALK_HALO_K`` PADDED view,
+    emitting carve updates (carve=True, keyed by the OWNING tile) or
+    accumulating (pathlen, pathdepth) (carve=False), plus a continuation
+    row when the walk exits the padded view.  Walks check the PRISTINE
+    (post-pit-raise) surface and min-combine — order-independent
+    (docstring point 2); halo data is the same pristine surface, so
+    in-halo walking is exact."""
     tw, th = meta.tile_w, meta.tile_h
     W, H = meta.width, meta.height
     nodata = meta.nodata
@@ -212,9 +375,11 @@ def _walk_round(meta, mode, eps, max_depth, carve):
         if not len(st) or not len(trs):
             return pd.DataFrame(cols)
         s = st.iloc[0]
-        h, w = int(s["h"]), int(s["w"])
-        orig = unpack(s["raised"], h, w, "float64")
-        par = unpack(s["parent"], h, w, "uint8")
+        ph, pw = int(s["ph"]), int(s["pw"])
+        orig = unpack(s["praised"], ph, pw, "float64")
+        par = unpack(s["pparent"], ph, pw, "uint8")
+        x0 = tx * tw - int(s["pl"])      # global coord of padded[0, 0]
+        y0 = ty * th - int(s["pt"])
 
         def emit(kind, gx=0, gy=0, target=0.0, pathlen=0,
                  pathdepth=0.0, pit_gi=0, within=1, val=0.0,
@@ -242,8 +407,8 @@ def _walk_round(meta, mode, eps, max_depth, carve):
             while True:
                 if not (0 <= gx < W and 0 <= gy < H):
                     break  # walked off the DEM: drainage reached
-                lx, ly = gx - tx * tw, gy - ty * th
-                if not (0 <= lx < w and 0 <= ly < h):
+                lx, ly = gx - x0, gy - y0
+                if not (0 <= lx < pw and 0 <= ly < ph):
                     emit(1, gx, gy, target, pathlen, pathdepth,
                          pit_gi, within, 0.0,
                          txo=gx // tw, tyo=gy // th)
@@ -257,7 +422,8 @@ def _walk_round(meta, mode, eps, max_depth, carve):
                 if carve:
                     val = (target if (mode == COMPLETE or within)
                            else max(o - max_depth, target))
-                    emit(2, gx, gy, 0.0, 0, 0.0, pit_gi, within, val)
+                    emit(2, gx, gy, 0.0, 0, 0.0, pit_gi, within, val,
+                         txo=gx // tw, tyo=gy // th)
                 else:
                     pathdepth = max(pathdepth, o - target)
                     pathlen += 1
@@ -276,18 +442,36 @@ def _walk_round(meta, mode, eps, max_depth, carve):
 
 
 def _run_walks(state_rows, traces_df, meta, mode, eps, max_depth,
-               carve, max_rounds=1000):
+               carve, max_rounds=None, metrics=None):
     """Drive walk rounds until no continuations remain.  Only tiles with
     live traces participate in a round (inner join on the tile key), so
-    each round costs O(active tiles), not O(all tiles)."""
+    each round costs O(active tiles), not O(all tiles).
+
+    ``max_rounds`` defaults to the geometric upper bound
+    ``ceil(W*H / WALK_HALO_K) + 2`` (see module docstring) — a
+    corruption tripwire, not a size gate.  Each round's intermediates
+    are eagerly materialized (results via localCheckpoint) and the
+    previous round's persisted frames are released, so executor storage
+    stays O(one round) on long walks.  ``metrics`` (optional dict) gets
+    ``{carve|measure}_rounds`` and per-round live-trace counts —
+    convergence telemetry for production runs."""
+    if max_rounds is None:
+        max_rounds = (meta.width * meta.height) // WALK_HALO_K + 3
     results = []
     live = traces_df
+    prev_cont = None
+    rounds_done = 0
+    live_counts: list[int] = []
     for _ in range(max_rounds):
         live_rows = live.select(
             F.lit(1).alias("kind"), "tile_x", "tile_y", "gx", "gy",
             "target", "pathlen", "pathdepth", "pit_gi", "within",
-            F.lit(None).cast("binary").alias("raised"),
-            F.lit(None).cast("binary").alias("parent"),
+            F.lit(None).cast("binary").alias("praised"),
+            F.lit(None).cast("binary").alias("pparent"),
+            F.lit(None).cast("int").alias("pt"),
+            F.lit(None).cast("int").alias("pl"),
+            F.lit(None).cast("int").alias("ph"),
+            F.lit(None).cast("int").alias("pw"),
             F.lit(None).cast("int").alias("h"),
             F.lit(None).cast("int").alias("w"),
         )
@@ -298,21 +482,37 @@ def _run_walks(state_rows, traces_df, meta, mode, eps, max_depth,
             _walk_round(meta, mode, eps, max_depth, carve), _WALK_SCHEMA
         ).persist()
         out_kind = 2 if carve else 3
+        # eager: pins this round's outputs so `walked` can be released
         results.append(
             walked.where(F.col("kind") == out_kind)
             .select("tile_x", "tile_y", "gx", "gy", "val",
                     "pathlen", "pathdepth", "pit_gi")
+            .localCheckpoint(eager=True)
         )
         cont = walked.where(F.col("kind") == 1).select(
             "tile_x", "tile_y", "gx", "gy", "target",
             "pathlen", "pathdepth", "pit_gi", "within",
         ).persist()
-        if cont.isEmpty():
+        n_live = cont.count()
+        walked.unpersist()
+        if prev_cont is not None:
+            prev_cont.unpersist()
+        rounds_done += 1
+        live_counts.append(n_live)
+        if n_live == 0:
+            cont.unpersist()
+            prev_cont = None
             break
+        prev_cont = cont
         live = cont
     else:
-        raise RuntimeError("breach walk exceeded max_rounds seam "
-                           "crossings — raise max_rounds")
+        raise RuntimeError(
+            "breach walk exceeded the geometric round bound — the "
+            "parent forest must be corrupt (cycle)")
+    if metrics is not None:
+        kind = "carve" if carve else "measure"
+        metrics[f"{kind}_rounds"] = rounds_done
+        metrics[f"{kind}_live_per_round"] = live_counts
     out = results[0]
     for r_ in results[1:]:
         out = out.unionByName(r_)
@@ -326,6 +526,8 @@ def breach_depressions_tiled(
     fill_depressions: bool = False,
     max_path_len: int = 2**31,
     max_depth: float = np.inf,
+    max_rounds: int | None = None,
+    metrics: dict | None = None,
 ) -> TiledRaster:
     """Distributed Lindsay2016 breaching — see the module docstring for
     the decomposition and its exactness argument.  The breach tree is
@@ -397,7 +599,9 @@ def breach_depressions_tiled(
         ["tile_x", "tile_y"],
     ).localCheckpoint(eager=True)
 
-    state_rows = walk_state.select(
+    padded_state = _build_walk_state(walk_state, meta) \
+        .localCheckpoint(eager=True)
+    state_rows = padded_state.select(
         F.lit(0).alias("kind"), "tile_x", "tile_y",
         F.lit(None).cast("long").alias("gx"),
         F.lit(None).cast("long").alias("gy"),
@@ -406,8 +610,7 @@ def breach_depressions_tiled(
         F.lit(None).cast("double").alias("pathdepth"),
         F.lit(None).cast("long").alias("pit_gi"),
         F.lit(None).cast("int").alias("within"),
-        "raised", "parent",
-        F.col("height").alias("h"), F.col("width").alias("w"),
+        "praised", "pparent", "pt", "pl", "ph", "pw", "h", "w",
     ).persist()
 
     # ---- initial traces: one per pit --------------------------------
@@ -440,7 +643,7 @@ def breach_depressions_tiled(
     if mode != COMPLETE:
         measures = _run_walks(
             state_rows, traces, meta, mode, eps_gradients, max_depth,
-            carve=False,
+            carve=False, max_rounds=max_rounds, metrics=metrics,
         )
         decisions = measures.select(
             "pit_gi",
@@ -448,6 +651,7 @@ def breach_depressions_tiled(
              & (F.col("pathdepth") <= max_depth)).cast("int")
             .alias("within2"),
         )
+        traces0_df = traces
         traces = traces.drop("within").join(decisions, "pit_gi") \
             .withColumnRenamed("within2", "within")
         if mode == SELECTIVE:
@@ -455,11 +659,15 @@ def breach_depressions_tiled(
             traces = traces.where(F.col("within") == 1)
         traces = traces.select(*[f.name for f in _TRACE_SCHEMA.fields]) \
             .persist()
+        traces.count()          # materialize before releasing the input
+        traces0_df.unpersist()
 
     updates = _run_walks(
         state_rows, traces, meta, mode, eps_gradients, max_depth,
-        carve=True,
+        carve=True, max_rounds=max_rounds, metrics=metrics,
     )
+    state_rows.unpersist()
+    traces.unpersist()
     upd_min = updates.groupBy("tile_x", "tile_y", "gx", "gy").agg(
         F.min("val").alias("val")
     ).groupBy("tile_x", "tile_y").agg(

@@ -163,11 +163,20 @@ def knn_join(
             rows = {"point_id": [], "site_id": [], "rank": [],
                     "dist_deg": []}
             for r in range(d2.shape[0]):
-                # deterministic ties: full (distance, site_id) sort.  An
-                # argpartition prefilter is NOT tie-safe: candidates tied
-                # at the k-th distance get picked arbitrarily, dropping
-                # the smaller site_id the tie rule promises.
-                order = np.lexsort((sids, d2[r]))[:kuse]
+                # deterministic ties: (distance, site_id) order.  A bare
+                # argpartition prefilter is not tie-safe (candidates tied
+                # at the k-th distance get picked arbitrarily), so widen
+                # it: partition at k, then include EVERY site at <= the
+                # k-th distance and lexsort only that candidate set —
+                # O(S + C log C) per row instead of O(S log S).
+                dr = d2[r]
+                if len(dr) > kuse:
+                    part = np.argpartition(dr, kuse - 1)
+                    kth = dr[part[kuse - 1]]
+                    cand = np.flatnonzero(dr <= kth)
+                else:
+                    cand = np.arange(len(dr))
+                order = cand[np.lexsort((sids[cand], dr[cand]))][:kuse]
                 for rank, j in enumerate(order):
                     rows["point_id"].append(pdf[point_id_col].iloc[r])
                     rows["site_id"].append(int(sids[j]))

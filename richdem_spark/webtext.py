@@ -53,10 +53,14 @@ _EPOCH = np.datetime64("2024-01-01T00:00:00")
 
 
 def _mix(i: np.ndarray, salt: int) -> np.ndarray:
-    """Deterministic 63-bit integer hash (splitmix-style), vectorized."""
-    z = (i.astype(np.uint64) + np.uint64(salt) * np.uint64(0x9E3779B97F4A7C15))
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    """Deterministic 63-bit integer hash (splitmix-style), vectorized.
+    uint64 wraparound is the algorithm — silence only the overflow
+    warning, locally, so real overflow bugs elsewhere stay visible."""
+    with np.errstate(over="ignore"):
+        z = (i.astype(np.uint64)
+             + np.uint64(salt) * np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return (z ^ (z >> np.uint64(31))) & np.uint64(0x7FFFFFFFFFFFFFFF)
 
 
