@@ -273,8 +273,10 @@ def _build_walk_state(walk_state, meta):
     packed = strips.groupBy("tile_x", "tile_y").agg(
         F.collect_list(F.struct("slot", "strip")).alias("whalo")
     )
+    from ..tiles import HALO_BROADCAST_MAX_BYTES
+
     perim_bytes = ntx * nty * 2 * (tw + th) * k * 9 * 4
-    if perim_bytes <= 256 * 1024 * 1024:
+    if perim_bytes <= HALO_BROADCAST_MAX_BYTES:
         packed = F.broadcast(packed)
     joined = walk_state.join(packed, ["tile_x", "tile_y"], "left")
 

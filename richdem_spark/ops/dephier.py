@@ -719,19 +719,6 @@ def depression_hierarchy(
         est_rows=ntx * nty * 2 * (tw + th),
     )
 
-    # leaf roots: (gidx, elev) — O(#pits), part of the returned deps
-    # list itself (the producer-rank bound the reference accepts)
-    root_rows = a_df.select("rg", "re").collect()
-    rg = (np.concatenate([np.frombuffer(r.rg, dtype=np.int64)
-                          for r in root_rows])
-          if root_rows else np.empty(0, dtype=np.int64))
-    re_ = (np.concatenate([np.frombuffer(r.re, dtype=np.float64)
-                           for r in root_rows])
-           if root_rows else np.empty(0))
-    order = np.argsort(rg)
-    rg, re_ = rg[order], re_[order]
-    pit_elev_of = dict(zip(rg.tolist(), re_.tolist()))
-
     b_df = a_df.join(hops_df, ["tile_x", "tile_y"], "left") \
         .mapInPandas(_wave_b(meta, topology), _B_SCHEMA).persist()
 
@@ -742,15 +729,50 @@ def depression_hierarchy(
         F.col("o.oc").alias("c"), F.col("o.oz").alias("z"),
     )
     seam = _seam_outlets(b_df, meta, topology)
-    outlet_rows = (
+    outlets_in = (
         in_tile.unionByName(seam)
         .groupBy("a", "b")
         .agg(F.min(F.struct("z", "c")).alias("m"))
-        .select("a", "b", F.col("m.z").alias("z"), F.col("m.c").alias("c"))
-        .collect()
+        .select(F.lit(0).alias("kind"), "a", "b",
+                F.col("m.z").alias("z"), F.col("m.c").alias("c"))
     )
 
-    # ---- driver: unify plateau-pit fragments / absorb terrace fragments.
+    # leaf-root fragments (gidx, pit elev) join the same solve input —
+    # exploded executor-side, so on the two-level executor path neither
+    # the O(perimeter) outlet pairs nor the fragment list ever hit the
+    # driver raw; the driver only collects the solve's compact output
+    # (dense fragment map + deps + outlet DB), which it must hold anyway
+    # (it IS the returned hierarchy + the wave-D broadcast).
+    frag_in_schema = StructType([
+        StructField("kind", IntegerType(), False),
+        StructField("a", LongType(), False),
+        StructField("b", LongType(), False),
+        StructField("z", DoubleType(), False),
+        StructField("c", LongType(), False),
+    ])
+
+    def roots_rows(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            gs, zs = [], []
+            for r in pdf.itertuples():
+                gs.append(np.frombuffer(r.rg, dtype=np.int64))
+                zs.append(np.frombuffer(r.re, dtype=np.float64))
+            if gs:
+                g = np.concatenate(gs)
+                z = np.concatenate(zs)
+                if len(g):
+                    yield pd.DataFrame({
+                        "kind": np.full(len(g), 1, np.int32),
+                        "a": g,
+                        "b": np.full(len(g), -1, np.int64),
+                        "z": z,
+                        "c": np.full(len(g), -1, np.int64),
+                    })
+
+    roots_in = a_df.select("rg", "re").mapInPandas(
+        roots_rows, frag_in_schema)
+
+    # ---- fragment solve: unify plateau-pit fragments / absorb terraces.
     # Index-ordered plateau links fragment flats at tile borders; an
     # outlet at exactly a fragment's pit elevation is a flat connection
     # (provably: any non-flat outlet from a pit exceeds the pit level):
@@ -760,93 +782,127 @@ def depression_hierarchy(
     #   * target is the ocean   -> an ocean-level coastal flat: cells
     #     become OCEAN, as the reference's ocean flood would claim them.
     # Union-find with -1 (ocean) as an absorbing terminal; absorption
-    # edges strictly descend in pit elevation, hence terminate.
-    uf: dict[int, int] = {}
+    # edges strictly descend in pit elevation, hence terminate.  Runs
+    # through the two-level switch: driver below the bound, else a
+    # single-partition executor job whose COMPACT output (fragment map,
+    # leaf list, outlet DB) is what the driver collects.
+    def frag_solve(rows):
+        pit_elev_of: dict[int, float] = {}
+        outs = []
+        for r in rows:
+            if r.kind == 1:
+                pit_elev_of[int(r.a)] = float(r.z)
+            else:
+                outs.append((int(r.a), int(r.b), float(r.z), int(r.c)))
 
-    def find(x):
-        if x < 0:
-            return -1
-        r = x
-        while uf.get(r, r) != r:
-            r = uf[r]
-        while uf.get(x, x) != x:
-            uf[x], x = r, uf[x]
-        return r
+        uf: dict[int, int] = {}
 
-    outs = [(int(r.a), int(r.b), float(r.z), int(r.c))
-            for r in outlet_rows]
-    changed = True
-    while changed:
-        changed = False
-        cand: dict[int, tuple] = {}
+        def find(x):
+            if x < 0:
+                return -1
+            rt = x
+            while uf.get(rt, rt) != rt:
+                rt = uf[rt]
+            while uf.get(x, x) != x:
+                uf[x], x = rt, uf[x]
+            return rt
+
+        changed = True
+        while changed:
+            changed = False
+            cand: dict[int, tuple] = {}
+            for a, b, z, c in outs:
+                fa, fb = find(a), find(b)
+                if fa == fb:
+                    continue
+                pa = pit_elev_of[fa] if fa >= 0 else -np.inf
+                pb = pit_elev_of[fb] if fb >= 0 else -np.inf
+                if fa >= 0 and fb >= 0 and z == pa and pa == pb:
+                    s, t = max(fa, fb), min(fa, fb)  # unify: min root
+                    key = (pit_elev_of[t], t)
+                    if s not in cand or key < cand[s]:
+                        cand[s] = key
+                elif fa >= 0 and z == pa and pb < pa:
+                    key = (pb, fb)
+                    if fa not in cand or key < cand[fa]:
+                        cand[fa] = key
+                elif fb >= 0 and z == pb and pa < pb:
+                    key = (pa, fa)
+                    if fb not in cand or key < cand[fb]:
+                        cand[fb] = key
+            for s, (_pt, t) in sorted(cand.items()):
+                fs, ft = find(s), find(t)
+                if fs != ft and fs >= 0:
+                    uf[fs] = ft
+                    changed = True
+
+        frags = sorted(pit_elev_of)
+        frag_to_final = {g: find(g) for g in frags}
+        final_roots = {f for f in frag_to_final.values() if f >= 0}
+
+        # mint dense leaf ids: ascending (pit_elev, root gidx) — the
+        # reference's pop order on tie-free DEMs
+        leaves = sorted(final_roots, key=lambda g: (pit_elev_of[g], g))
+        leaf_id = {g: i + 1 for i, g in enumerate(leaves)}
+
+        out = []
+        for g in frags:
+            f = frag_to_final[g]
+            out.append((0, g, 0 if f < 0 else leaf_id[f], 0.0, 0))
+        for g in leaves:
+            out.append((1, leaf_id[g], g, pit_elev_of[g], 0))
+
+        # outlet DB keyed by dense leaf ids
+        odb: dict[tuple, tuple] = {}
         for a, b, z, c in outs:
             fa, fb = find(a), find(b)
             if fa == fb:
                 continue
-            pa = pit_elev_of[fa] if fa >= 0 else -np.inf
-            pb = pit_elev_of[fb] if fb >= 0 else -np.inf
-            if fa >= 0 and fb >= 0 and z == pa and pa == pb:
-                s, t = max(fa, fb), min(fa, fb)   # unify: keep min root
-                key = (pit_elev_of[t], t)
-                if s not in cand or key < cand[s]:
-                    cand[s] = key
-            elif fa >= 0 and z == pa and pb < pa:
-                key = (pb, fb)
-                if fa not in cand or key < cand[fa]:
-                    cand[fa] = key
-            elif fb >= 0 and z == pb and pa < pb:
-                key = (pa, fa)
-                if fb not in cand or key < cand[fb]:
-                    cand[fb] = key
-        for s, (_pt, t) in sorted(cand.items()):
-            fs, ft = find(s), find(t)
-            if fs != ft and fs >= 0:
-                uf[fs] = ft
-                changed = True
+            la = 0 if fa < 0 else leaf_id[fa]
+            lb = 0 if fb < 0 else leaf_id[fb]
+            k = (min(la, lb), max(la, lb))
+            cur = odb.get(k)
+            if cur is None or (z, c) < (cur[1], cur[0]):
+                odb[k] = (c, z)
+        for (la, lb), (c, z) in odb.items():
+            out.append((2, la, lb, z, c))
+        return out
 
-    frag_to_final: dict[int, int] = {}
-    final_roots = set()
-    for g in rg.tolist():
-        f = find(g)
-        frag_to_final[g] = f
-        if f >= 0:
-            final_roots.add(f)
+    frag_out_schema = StructType([
+        StructField("kind", IntegerType(), False),
+        StructField("k1", LongType(), False),
+        StructField("k2", LongType(), False),
+        StructField("z", DoubleType(), False),
+        StructField("c", LongType(), False),
+    ])
+    n_roots = int(
+        (a_df.agg(F.sum(F.length("rg"))).first()[0] or 0) // 8)
+    solved_rows = two_level_solve(
+        outlets_in.unionByName(roots_in), frag_solve, frag_out_schema,
+        est_rows=n_roots + ntx * nty * 2 * (tw + th),
+    ).collect()
 
-    # mint dense leaf ids: ascending (pit_elev, root gidx) — the
-    # reference's pop order on tie-free DEMs
-    leaves = sorted(final_roots, key=lambda g: (pit_elev_of[g], g))
-    leaf_id = {g: i + 1 for i, g in enumerate(leaves)}
+    frag_pairs = sorted(
+        (int(r.k1), int(r.k2)) for r in solved_rows if r.kind == 0)
+    leaf_rows = sorted(
+        (int(r.k1), int(r.k2), float(r.z))
+        for r in solved_rows if r.kind == 1)
 
     deps: list[Depression] = [Depression(
         pit_elev=-np.inf, pit_cell=NO_VALUE, dep_label=0
     )]
-    for g in leaves:
-        deps.append(Depression(
-            pit_cell=int(g), pit_elev=float(pit_elev_of[g]),
-            dep_label=leaf_id[g],
-        ))
+    for lid, g, pe in leaf_rows:
+        deps.append(Depression(pit_cell=g, pit_elev=pe, dep_label=lid))
 
-    # outlet_db keyed by dense leaf ids: {(la, lb): (out_cell, out_elev)}
-    outlet_db: dict[tuple, tuple] = {}
-    for a, b, z, c in outs:
-        fa, fb = find(a), find(b)
-        if fa == fb:
-            continue
-        la = 0 if fa < 0 else leaf_id[fa]
-        lb = 0 if fb < 0 else leaf_id[fb]
-        k = (min(la, lb), max(la, lb))
-        cur = outlet_db.get(k)
-        if cur is None or (z, c) < (cur[1], cur[0]):
-            outlet_db[k] = (c, z)
-
+    outlet_db: dict[tuple, tuple] = {
+        (int(r.k1), int(r.k2)): (int(r.c), float(r.z))
+        for r in solved_rows if r.kind == 2
+    }
     merge_outlet_db(deps, outlet_db)
 
     # ---- wave D: dense labels + marginal volume partials ---------------
-    lk = np.array(sorted(frag_to_final), dtype=np.int64)
-    lv = np.array(
-        [leaf_id.get(frag_to_final[k], 0) for k in lk.tolist()],
-        dtype=np.int64,
-    )
+    lk = np.array([p[0] for p in frag_pairs], dtype=np.int64)
+    lv = np.array([p[1] for p in frag_pairs], dtype=np.int64)
     chain_dep, chain_pm = build_outlet_chains(deps)
     bc = spark.sparkContext.broadcast((lk, lv, chain_dep, chain_pm))
 

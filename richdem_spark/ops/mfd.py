@@ -287,9 +287,11 @@ def flow_accumulation_mfd(
     packed = strips_df.groupBy("tile_x", "tile_y").agg(
         F.collect_list(F.struct("slot", "strip")).alias("phalo")
     )
+    from ..tiles import HALO_BROADCAST_MAX_BYTES
+
     perim_bytes = (meta.ntiles_x * meta.ntiles_y
                    * 2 * (tw + th) * 9 * 4 * 4)
-    if perim_bytes <= 256 * 1024 * 1024:
+    if perim_bytes <= HALO_BROADCAST_MAX_BYTES:
         packed = F.broadcast(packed)
     joined0 = pdf_props.join(packed, ["tile_x", "tile_y"], "left")
 

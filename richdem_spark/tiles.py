@@ -205,16 +205,42 @@ def raster_from_array(
                 (tx, ty, tw, th, str(arr.dtype),
                  float(nodata) if nodata is not None else None, pack(sub))
             )
-    df = spark.createDataFrame(rows, TILE_SCHEMA).repartition(
-        min(len(rows), spark.sparkContext.defaultParallelism),
-        "tile_y", "tile_x",
-    )
+    df = copartition_tiles(spark.createDataFrame(rows, TILE_SCHEMA))
     return TiledRaster(df, meta)
 
 
-def read_raster(spark: SparkSession, path: str) -> TiledRaster:
-    """Read a tile table written by :func:`write_raster`."""
+def canonical_tile_partitions(spark: SparkSession) -> int:
+    """The engine-wide tile partition count: spark.sql.shuffle.partitions.
+    Every shuffle that keys on the tile key (halo strip groupBys, seam
+    aggregations) lands on this count, so a tile table partitioned the
+    same way joins them EXCHANGE-FREE — tile interiors never move."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
+def copartition_tiles(df: DataFrame) -> DataFrame:
+    """Hash-partition a tile table on the canonical key
+    ``(tile_x, tile_y)`` at the canonical count — the in-session
+    equivalent of a bucketed table.  Applied once at ingest/creation;
+    all downstream per-tile ops (mapInPandas) preserve it."""
+    return df.repartition(
+        canonical_tile_partitions(df.sparkSession), "tile_x", "tile_y"
+    )
+
+
+def read_raster(
+    spark: SparkSession, path: str, copartition: bool = True
+) -> TiledRaster:
+    """Read a tile table written by :func:`write_raster`.
+
+    ``copartition=True`` (default) pays ONE ingest shuffle to land the
+    tiles on the canonical ``(tile_x, tile_y)`` hash partitioning, after
+    which every halo exchange / seam aggregation in the session joins
+    the table exchange-free (see :func:`halo_join`).  A bucketed table
+    (:func:`write_raster_table`) or an Iceberg table partitioned by the
+    tile key makes even that ingest shuffle unnecessary."""
     df = spark.read.parquet(path)
+    if copartition:
+        df = copartition_tiles(df)
     import json
 
     with open(path.rstrip("/") + "/_raster_meta.json") as f:
@@ -244,9 +270,63 @@ def write_raster(tr: TiledRaster, path: str) -> None:
         )
 
 
+def _meta_to_dict(m: RasterMeta) -> dict:
+    return {
+        "width": m.width, "height": m.height,
+        "tile_w": m.tile_w, "tile_h": m.tile_h,
+        "nodata": m.nodata, "dtype": m.dtype,
+        "geotransform": list(m.geotransform),
+        "projection": m.projection, "history": m.history,
+    }
+
+
+def write_raster_table(
+    tr: TiledRaster, table: str, buckets: int | None = None
+) -> None:
+    """Bucketed catalog sink: the persistent form of the canonical tile
+    partitioning.  A table bucketed by ``(tile_x, tile_y)`` is read back
+    already hash-distributed on the tile key, so NO exchange — not even
+    the one-time ingest shuffle — ever touches the tile blobs; this is
+    the 100 TB substrate (an Iceberg table bucket-partitioned on the
+    tile key behaves identically).  Raster metadata rides along as a
+    table property."""
+    import json
+
+    spark = tr.df.sparkSession
+    if buckets is None:
+        buckets = canonical_tile_partitions(spark)
+    (tr.df.write.bucketBy(buckets, "tile_x", "tile_y")
+     .sortBy("tile_x", "tile_y")
+     .format("parquet").mode("overwrite").saveAsTable(table))
+    meta_json = json.dumps(_meta_to_dict(tr.meta)).replace("'", "''")
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES "
+        f"('richdem_meta' = '{meta_json}')"
+    )
+
+
+def read_raster_table(spark: SparkSession, table: str) -> TiledRaster:
+    """Read a bucketed tile table written by :func:`write_raster_table`;
+    the scan reports the bucket distribution, so tile-key joins against
+    it are exchange-free with zero ingest shuffle."""
+    import json
+
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    meta = RasterMeta(**json.loads(props["richdem_meta"]))
+    return TiledRaster(spark.table(table), meta)
+
+
 # ---------------------------------------------------------------------------
 # Halo exchange
 # ---------------------------------------------------------------------------
+
+# above this many bytes of packed halo strips, broadcasting them is no
+# longer sensible; the join instead relies on both sides sharing the
+# canonical (tile_x, tile_y) hash partitioning (see halo_join)
+HALO_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
 
 # strip slot ids: position of the CONTRIBUTING strip relative to the
 # receiving tile, using the reference's D8 numbering (constants.hpp:5-10)
@@ -351,12 +431,21 @@ def assemble_padded(
 def halo_join(tr: TiledRaster) -> DataFrame:
     """Tile rows augmented with a ``halo`` array column of (slot, strip)
     structs.  ONE shuffle of O(perimeter) strip data; the tile interiors
-    NEVER shuffle: the packed strips are broadcast (Catalyst has no
-    stats for the aggregated strips and would otherwise pick a
-    SortMergeJoin that exchanges every tile blob — the dominant hidden
-    cost of every focal op).  Above the broadcast budget the join falls
-    back to the shuffle plan; at that scale bucketed tile tables are the
-    production answer (SURVEY.md §4)."""
+    NEVER shuffle, by either of two mechanisms:
+
+    * under ``HALO_BROADCAST_MAX_BYTES`` of packed strips, the strip
+      side is broadcast (Catalyst has no stats for the aggregated strips
+      and would otherwise pick a SortMergeJoin that exchanges every tile
+      blob — the dominant hidden cost of every focal op);
+    * above it — the 100 TB regime, where 10^6 tiles of packed strips
+      run to tens of GB — the join relies on CO-PARTITIONING: the strip
+      groupBy lands on ``hash(tile_x, tile_y)`` at the canonical count,
+      and every tile table in the engine carries the SAME partitioning
+      (creation/ingest via :func:`copartition_tiles`, persistence via
+      :func:`write_raster_table` bucketing; per-tile mapInPandas ops
+      preserve it), so the sort-merge join plans ZERO exchange on the
+      tile-blob side.  tests/test_halo_plan.py asserts this.
+    """
     meta = tr.meta
     strips = tr.df.mapInPandas(_emit_halo_strips(tr.meta), _HALO_SCHEMA)
     packed = strips.groupBy("tile_x", "tile_y").agg(
@@ -367,7 +456,7 @@ def halo_join(tr: TiledRaster) -> DataFrame:
         meta.ntiles_x * meta.ntiles_y * 2 * (meta.tile_w + meta.tile_h)
         * 8 * 4
     )
-    if perim_bytes <= 256 * 1024 * 1024:
+    if perim_bytes <= HALO_BROADCAST_MAX_BYTES:
         packed = F.broadcast(packed)
     return tr.df.join(packed, ["tile_x", "tile_y"], "left")
 
