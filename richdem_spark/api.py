@@ -899,27 +899,28 @@ def SetEdges(tr: TiledRaster, val: float) -> TiledRaster:
 
 def FillDepressionsMaxDep(
     tr: TiledRaster, max_dep_size: int,
-    max_cells: int = 64_000_000,
+    max_cells: int | None = None,
 ) -> TiledRaster:
-    """Fill only depressions with <= max_dep_size marginal cells per
-    pit episode (PriorityFlood_Barnes2014_max_dep, Barnes2014.hpp:
-    844-931; goldens tests/tests.cpp:275-289).  The reference algorithm
-    is inherently sequential (episode grouping follows the global PQ pop
-    order), serial-only in the reference as well — single-partition
-    gate, exact port."""
-    from .kernels.fill import priority_flood_max_dep
-    from .tiles import raster_from_array
+    """Fill only depression episodes with <= max_dep_size cells
+    (PriorityFlood_Barnes2014_max_dep, Barnes2014.hpp:844-931; goldens
+    tests/tests.cpp:275-289).  Fully distributed — the global-PQ episode
+    dynamics reduce to a closed form over the ordinary fill (delta-mask
+    components grouped by their spill trigger cell; exactness argument
+    and tie caveat in ops/maxdep.py).  No size gate; ``max_cells`` is
+    accepted for back-compat and ignored (deprecation-warned).  The
+    serial kernel (kernels/fill.priority_flood_max_dep) remains as the
+    reference-parity twin."""
+    from .ops.maxdep import fill_depressions_max_dep
 
-    m = tr.meta
-    if m.width * m.height > max_cells:
-        raise NotImplementedError("max_dep fill gate exceeded")
-    out = priority_flood_max_dep(tr.to_array(), max_dep_size)
-    res = raster_from_array(tr.df.sparkSession, out, m.tile_w, m.tile_h,
-                            m.nodata, m.geotransform)
-    res.meta = res.meta.with_history(
-        f"fill_depressions_max_dep({max_dep_size})"
-    )
-    return res
+    if max_cells is not None:
+        import warnings
+
+        warnings.warn(
+            "FillDepressionsMaxDep(max_cells=...) is deprecated and "
+            "ignored: the max_dep fill is fully distributed",
+            DeprecationWarning, stacklevel=2,
+        )
+    return fill_depressions_max_dep(tr, max_dep_size)
 
 
 def BucketFill(tr: TiledRaster, check_value: float, fill_value: float,

@@ -35,6 +35,65 @@ from ..kernels.d8 import exit_cell_of
 from ..kernels.misc import _bresenham
 from ..tiles import TILE_SCHEMA, RasterMeta, TiledRaster, pack, unpack
 
+def seam_union_find(rows, topology):
+    """Union-find over per-tile border component strips.  ``rows`` carry
+    ``tile_x, tile_y`` and int64 strip blobs ``cmp_n cmp_s cmp_w cmp_e``
+    (0 = not in any component); components touching across a tile seam
+    (cardinal strips, plus diagonal 4-corners under D8) are unioned with
+    min-root preference.  Returns ``(find, uf)`` — shared by the
+    bucket-fill seed solve and the max_dep episode solve."""
+    by_key = {(r.tile_x, r.tile_y): r for r in rows}
+    uf: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while uf.get(r, r) != r:
+            r = uf[r]
+        while uf.get(x, x) != x:
+            uf[x], x = r, uf[x]
+        return r
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            uf[max(ra, rb)] = min(ra, rb)
+
+    offs = (-1, 0, 1) if topology == TOPO_D8 else (0,)
+    for (tx, ty), r in by_key.items():
+        for (dx2, dy2, col_a, col_b) in (
+            (1, 0, "cmp_e", "cmp_w"),
+            (0, 1, "cmp_s", "cmp_n"),
+        ):
+            other = by_key.get((tx + dx2, ty + dy2))
+            if other is None:
+                continue
+            sa = np.frombuffer(getattr(r, col_a), dtype=np.int64)
+            sb = np.frombuffer(getattr(other, col_b), dtype=np.int64)
+            n = min(len(sa), len(sb))
+            for off in offs:
+                lo, hi = max(0, -off), min(n, n - off)
+                aa = sa[lo:hi]
+                bb = sb[lo + off : hi + off]
+                mm = (aa > 0) & (bb > 0)
+                for x, y in zip(aa[mm].tolist(), bb[mm].tolist()):
+                    union(x, y)
+        if topology == TOPO_D8:
+            # 4-tile diagonal corners
+            for ddx, ddy, ca, cb in (
+                (1, 1, "cmp_s", "cmp_n"), (-1, 1, "cmp_s", "cmp_n")
+            ):
+                other = by_key.get((tx + ddx, ty + ddy))
+                if other is None:
+                    continue
+                sa = np.frombuffer(getattr(r, ca), dtype=np.int64)
+                sb = np.frombuffer(getattr(other, cb), dtype=np.int64)
+                a_v = sa[-1] if ddx == 1 else sa[0]
+                b_v = sb[0] if ddx == 1 else sb[-1]
+                if a_v > 0 and b_v > 0:
+                    union(int(a_v), int(b_v))
+    return find, uf
+
+
 _BF_SCHEMA = StructType(
     [
         StructField("tile_x", IntegerType(), False),
@@ -103,55 +162,7 @@ def bucket_fill_from_edges(
         """Seam union-find over the collected strips; returns, per tile,
         the sorted list of that tile's seeded component ids (component
         ids embed their owner tile via the stride offset)."""
-        by_key = {(r.tile_x, r.tile_y): r for r in rows}
-        uf: dict[int, int] = {}
-
-        def find(x):
-            r = x
-            while uf.get(r, r) != r:
-                r = uf[r]
-            while uf.get(x, x) != x:
-                uf[x], x = r, uf[x]
-            return r
-
-        def union(a, b):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                uf[max(ra, rb)] = min(ra, rb)
-
-        offs = (-1, 0, 1) if topology == TOPO_D8 else (0,)
-        for (tx, ty), r in by_key.items():
-            for (dx2, dy2, col_a, col_b) in (
-                (1, 0, "cmp_e", "cmp_w"),
-                (0, 1, "cmp_s", "cmp_n"),
-            ):
-                other = by_key.get((tx + dx2, ty + dy2))
-                if other is None:
-                    continue
-                sa = np.frombuffer(getattr(r, col_a), dtype=np.int64)
-                sb = np.frombuffer(getattr(other, col_b), dtype=np.int64)
-                n = min(len(sa), len(sb))
-                for off in offs:
-                    lo, hi = max(0, -off), min(n, n - off)
-                    aa = sa[lo:hi]
-                    bb = sb[lo + off : hi + off]
-                    mm = (aa > 0) & (bb > 0)
-                    for x, y in zip(aa[mm].tolist(), bb[mm].tolist()):
-                        union(x, y)
-            if topology == TOPO_D8:
-                # 4-tile diagonal corners
-                for ddx, ddy, ca, cb in (
-                    (1, 1, "cmp_s", "cmp_n"), (-1, 1, "cmp_s", "cmp_n")
-                ):
-                    other = by_key.get((tx + ddx, ty + ddy))
-                    if other is None:
-                        continue
-                    sa = np.frombuffer(getattr(r, ca), dtype=np.int64)
-                    sb = np.frombuffer(getattr(other, cb), dtype=np.int64)
-                    a_v = sa[-1] if ddx == 1 else sa[0]
-                    b_v = sb[0] if ddx == 1 else sb[-1]
-                    if a_v > 0 and b_v > 0:
-                        union(int(a_v), int(b_v))
+        find, uf = seam_union_find(rows, topology)
 
         seeded_roots = set()
         for r in rows:

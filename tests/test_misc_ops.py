@@ -165,3 +165,42 @@ def test_upslope_cells_distributed_fuzz(spark):
             tr = raster_from_array(spark, dirs, tile_w=tw, tile_h=th)
             got = UpslopeCells(tr, 4, 14, 22, 14).to_array()
             assert np.array_equal(got, golden), (trial, tw, th)
+
+
+def test_fill_max_dep_distributed_fuzz(spark):
+    """Distributed max_dep fill == the serial episode kernel on random
+    tie-free grids at multiple tilings (exact on tie-free inputs; the
+    trigger-grouping reduction is derived in ops/maxdep.py)."""
+    from richdem_spark.api import FillDepressionsMaxDep
+    from richdem_spark.kernels.fill import priority_flood_max_dep
+
+    rng = np.random.default_rng(31)
+    for trial in range(3):
+        dem = rng.random((21, 17)) * 10
+        for k in (1, 3, 8, 1000):
+            exp = priority_flood_max_dep(dem, k)
+            for tw, th in ((6, 6), (9, 5)):
+                tr = raster_from_array(spark, dem, tile_w=tw, tile_h=th)
+                got = FillDepressionsMaxDep(tr, k).to_array()
+                assert np.array_equal(got, exp), (trial, k, tw, th)
+
+
+def test_fill_max_dep_tiling_invariant_on_ties(spark):
+    """On tie-heavy integer grids (where the reference's own episode
+    grouping is heap-order-dependent) the distributed result must at
+    least be deterministic and tiling-invariant."""
+    from richdem_spark.api import FillDepressionsMaxDep
+
+    rng = np.random.default_rng(77)
+    dem = rng.integers(0, 5, (19, 23)).astype(float)
+    for k in (1, 2, 6):
+        outs = []
+        for tw, th in ((5, 5), (8, 4), (23, 19)):
+            tr = raster_from_array(spark, dem, tile_w=tw, tile_h=th)
+            outs.append(FillDepressionsMaxDep(tr, k).to_array())
+        assert np.array_equal(outs[0], outs[1]), k
+        assert np.array_equal(outs[0], outs[2]), k
+        # monotone envelope: dem <= result <= plain fill
+        from richdem_spark.kernels.fill import priority_flood_fill
+        full = priority_flood_fill(dem, nodata=None)
+        assert (outs[0] >= dem).all() and (outs[0] <= full).all(), k
