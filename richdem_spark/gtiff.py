@@ -1,0 +1,382 @@
+"""GeoTIFF ingest/egress without GDAL — the reference's ``loadGDAL`` /
+``saveGDAL`` I/O gap (``common/Array2D.hpp:418-431, 1112-1190``) closed
+with a pure-stdlib TIFF 6.0 parser.
+
+Scope: classic (non-Big) TIFF, single-sample rasters (DEMs), 8/16/32/64
+bit unsigned/signed/float samples, strip or tile organization,
+uncompressed or DEFLATE (zlib) compression, horizontal-predictor
+support, GeoTIFF ModelPixelScale/ModelTiepoint -> geotransform and the
+GDAL_NODATA ASCII tag.  That covers the common DEM interchange files;
+exotic layouts raise with a clear message.
+
+Scale path: :func:`read_geotiff` parses the IFD on the driver (a few KB
+of seeks), then ships one row PER SEGMENT (strip/tile byte range) to
+the executors, which read and decode only their ranges and emit
+PIECE_SCHEMA pieces re-keyed by destination engine tile —
+:func:`richdem_spark.tiles.assemble_pieces` lands them on the canonical
+partitioning with ONE shuffle of raster bytes.  The writer is a
+driver-side utility for round-trips and small exports; at 100 TB the
+sink is the bucketed tile table (tiles.write_raster_table).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .tiles import PIECE_SCHEMA, RasterMeta, TiledRaster, assemble_pieces
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
+             12: "d"}
+
+# (SampleFormat, BitsPerSample) -> numpy dtype
+_DTYPES = {
+    (1, 8): "uint8", (1, 16): "uint16", (1, 32): "uint32",
+    (2, 8): "int8", (2, 16): "int16", (2, 32): "int32",
+    (3, 32): "float32", (3, 64): "float64",
+}
+
+
+def _read_ifd(f, bo: str) -> dict[int, list]:
+    """Parse one IFD into {tag: values}."""
+    (n,) = struct.unpack(bo + "H", f.read(2))
+    tags: dict[int, list] = {}
+    entries = []
+    for _ in range(n):
+        tag, typ, cnt = struct.unpack(bo + "HHI", f.read(8))
+        raw = f.read(4)
+        entries.append((tag, typ, cnt, raw))
+    for tag, typ, cnt, raw in entries:
+        size = _TYPE_SIZES.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        if total <= 4:
+            data = raw[:total]
+        else:
+            (off,) = struct.unpack(bo + "I", raw)
+            pos = f.tell()
+            f.seek(off)
+            data = f.read(total)
+            f.seek(pos)
+        if typ == 2:                       # ASCII
+            tags[tag] = [data.rstrip(b"\x00").decode("latin-1")]
+        elif typ in (5, 10):               # RATIONALs
+            fmt = bo + ("II" if typ == 5 else "ii")
+            vals = []
+            for i in range(cnt):
+                a, b = struct.unpack_from(fmt, data, 8 * i)
+                vals.append(a / b if b else 0.0)
+            tags[tag] = vals
+        elif typ in _TYPE_FMT:
+            tags[tag] = list(struct.unpack(
+                bo + _TYPE_FMT[typ] * cnt, data))
+        else:
+            tags[tag] = [data]
+    return tags
+
+
+def parse_geotiff(path: str) -> dict:
+    """Driver-side IFD parse -> raster geometry + segment table.
+
+    Returns a dict with width/height/dtype/nodata/geotransform and
+    ``segments``: a list of (sx, sy, sw, sh, offset, nbytes) — the
+    pixel rectangle and byte range of every strip/tile."""
+    with open(path, "rb") as f:
+        hdr = f.read(8)
+        if hdr[:2] == b"II":
+            bo = "<"
+        elif hdr[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError("not a TIFF file")
+        (magic,) = struct.unpack(bo + "H", hdr[2:4])
+        if magic == 43:
+            raise NotImplementedError("BigTIFF not supported")
+        if magic != 42:
+            raise ValueError("not a TIFF file")
+        (ifd_off,) = struct.unpack(bo + "I", hdr[4:8])
+        f.seek(ifd_off)
+        t = _read_ifd(f, bo)
+
+    def one(tag, default=None):
+        v = t.get(tag)
+        return v[0] if v else default
+
+    W = int(one(256))
+    H = int(one(257))
+    spp = int(one(277, 1))
+    if spp != 1:
+        raise NotImplementedError("only single-sample rasters (DEMs)")
+    bits = int(one(258, 8))
+    comp = int(one(259, 1))
+    if comp not in (1, 8, 32946):
+        raise NotImplementedError(
+            f"TIFF compression {comp} unsupported (need none/deflate)")
+    sfmt = int(one(339, 1))
+    dtype = _DTYPES.get((sfmt, bits))
+    if dtype is None:
+        raise NotImplementedError(
+            f"sample format {sfmt}/{bits}bit unsupported")
+    predictor = int(one(317, 1))
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
+
+    segments = []
+    if 322 in t:                           # tiled layout
+        tw2, th2 = int(one(322)), int(one(323))
+        offs, cnts = t[324], t[325]
+        per_row = (W + tw2 - 1) // tw2
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            sx = (i % per_row) * tw2
+            sy = (i // per_row) * th2
+            segments.append((sx, sy, tw2, th2, int(o), int(c)))
+    else:                                  # strips
+        rps = int(one(278, H))
+        offs, cnts = t[273], t[279]
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            sy = i * rps
+            sh = min(rps, H - sy)
+            segments.append((0, sy, W, sh, int(o), int(c)))
+
+    nodata = None
+    if 42113 in t:
+        try:
+            nodata = float(t[42113][0].strip())
+        except (ValueError, AttributeError):
+            nodata = None
+    gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    scale = t.get(33550)
+    tie = t.get(33922)
+    if scale and tie and len(tie) >= 6:
+        # tiepoint (i,j,k)->(x,y,z); standard north-up mapping
+        gt = (tie[3] - tie[0] * scale[0], scale[0], 0.0,
+              tie[4] + tie[1] * scale[1], 0.0, -scale[1])
+    return {
+        "width": W, "height": H, "dtype": dtype, "nodata": nodata,
+        "geotransform": gt, "compression": comp,
+        "predictor": predictor, "bo": bo, "segments": segments,
+        "projection": t.get(34737, [""])[0],
+    }
+
+
+_SEG_SCHEMA = StructType([
+    StructField("sx", IntegerType(), False),
+    StructField("sy", IntegerType(), False),
+    StructField("sw", IntegerType(), False),
+    StructField("sh", IntegerType(), False),
+    StructField("offset", LongType(), False),
+    StructField("nbytes", LongType(), False),
+    StructField("path", StringType(), False),
+])
+
+
+def _decode_segment(blob: bytes, sw: int, sh: int, dtype: str,
+                    comp: int, predictor: int, bo: str) -> np.ndarray:
+    if comp in (8, 32946):
+        blob = zlib.decompress(blob)
+    dt = np.dtype(dtype).newbyteorder(bo)
+    n = sw * sh
+    a = np.frombuffer(blob[:n * dt.itemsize], dtype=dt)
+    a = a.astype(np.dtype(dtype)).reshape(sh, sw)
+    if predictor == 2:
+        if a.dtype.kind not in "ui":
+            raise NotImplementedError(
+                "horizontal predictor on non-integer samples")
+        a = np.cumsum(a.astype(np.int64), axis=1).astype(np.dtype(dtype))
+    return a
+
+
+def read_geotiff(
+    spark: SparkSession, path: str, tile_w: int = 256, tile_h: int = 256,
+) -> TiledRaster:
+    """Distributed GeoTIFF -> tile table: executors each read only their
+    segments' byte ranges (the path must be visible to executors — local
+    disk here, NFS/object store on a cluster), then one piece shuffle
+    lands the cells on the engine's canonical tiles."""
+    info = parse_geotiff(path)
+    W, H = info["width"], info["height"]
+    meta = RasterMeta(
+        width=W, height=H, tile_w=tile_w, tile_h=tile_h,
+        nodata=info["nodata"], dtype=info["dtype"],
+        geotransform=info["geotransform"],
+        projection=info["projection"] or "",
+    ).with_history(f"read_geotiff({path})")
+    dtype, comp, pred, bo = (info["dtype"], info["compression"],
+                             info["predictor"], info["bo"])
+
+    seg_rows = [(sx, sy, sw, sh, o, c, path)
+                for (sx, sy, sw, sh, o, c) in info["segments"]]
+    segs = spark.createDataFrame(seg_rows, _SEG_SCHEMA).repartition(
+        min(len(seg_rows), spark.sparkContext.defaultParallelism))
+
+    def fetch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .tiles import pack
+
+        for pdf in it:
+            out = {f.name: [] for f in PIECE_SCHEMA.fields}
+            for r in pdf.itertuples():
+                with open(r.path, "rb") as f:
+                    f.seek(r.offset)
+                    blob = f.read(r.nbytes)
+                a = _decode_segment(blob, r.sw, r.sh, dtype, comp,
+                                    pred, bo)
+                # clip padded edge tiles (TIFF tiles overhang the grid)
+                eh = min(r.sh, H - r.sy)
+                ew = min(r.sw, W - r.sx)
+                a = a[:eh, :ew]
+                # split across destination engine tiles
+                ty0, ty1 = r.sy // tile_h, (r.sy + eh - 1) // tile_h
+                tx0, tx1 = r.sx // tile_w, (r.sx + ew - 1) // tile_w
+                for ty in range(ty0, ty1 + 1):
+                    for tx in range(tx0, tx1 + 1):
+                        y0 = max(r.sy, ty * tile_h)
+                        y1 = min(r.sy + eh, (ty + 1) * tile_h)
+                        x0 = max(r.sx, tx * tile_w)
+                        x1 = min(r.sx + ew, (tx + 1) * tile_w)
+                        piece = a[y0 - r.sy:y1 - r.sy,
+                                  x0 - r.sx:x1 - r.sx]
+                        out["tile_x"].append(tx)
+                        out["tile_y"].append(ty)
+                        out["py"].append(y0 - ty * tile_h)
+                        out["px"].append(x0 - tx * tile_w)
+                        out["ph"].append(y1 - y0)
+                        out["pw"].append(x1 - x0)
+                        out["data"].append(pack(piece))
+            yield pd.DataFrame(out)
+
+    pieces = segs.mapInPandas(fetch, PIECE_SCHEMA)
+    fill = meta.nodata if meta.nodata is not None else 0.0
+    return TiledRaster(assemble_pieces(pieces, meta, fill=fill).df, meta)
+
+
+def write_geotiff(
+    tr: TiledRaster, path: str, compress: bool = True,
+    rows_per_strip: int = 256, tiled: int | None = None,
+) -> None:
+    """Driver-side GeoTIFF writer with ModelPixelScale/ModelTiepoint and
+    GDAL_NODATA — round-trip / small export utility; the scale sink is
+    the bucketed tile table.  ``tiled=N`` writes a tiled layout (N a
+    multiple of 16, edge tiles padded per spec) instead of strips."""
+    arr = tr.to_array()
+    m = tr.meta
+    H, W = arr.shape
+    dt = np.dtype(m.dtype)
+    sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    bits = dt.itemsize * 8
+
+    strips = []
+    if tiled:
+        ts = int(tiled)
+        if ts % 16:
+            raise ValueError("TIFF tile size must be a multiple of 16")
+        for sy in range(0, H, ts):
+            for sx in range(0, W, ts):
+                block = np.zeros((ts, ts), dt)
+                sub = arr[sy:sy + ts, sx:sx + ts]
+                block[:sub.shape[0], :sub.shape[1]] = sub
+                raw = block.tobytes()
+                strips.append(zlib.compress(raw, 6) if compress else raw)
+    else:
+        for sy in range(0, H, rows_per_strip):
+            raw = np.ascontiguousarray(
+                arr[sy:sy + rows_per_strip]).astype(
+                    dt, copy=False).tobytes()
+            strips.append(zlib.compress(raw, 6) if compress else raw)
+
+    gt = m.geotransform
+    entries: list[tuple[int, int, int, bytes]] = []  # tag,type,cnt,payload
+    extra = bytearray()
+
+    def add(tag, typ, vals):
+        if typ == 2:
+            data = vals.encode("latin-1") + b"\x00"
+            cnt = len(data)
+        else:
+            fmt = "<" + _TYPE_FMT[typ] * len(vals)
+            data = struct.pack(fmt, *vals)
+            cnt = len(vals)
+        entries.append((tag, typ, cnt, data))
+
+    n_str = len(strips)
+    off_tag = 324 if tiled else 273
+    add(256, 4, [W])
+    add(257, 4, [H])
+    add(258, 3, [bits])
+    add(259, 3, [8 if compress else 1])
+    add(262, 3, [1])                        # BlackIsZero
+    add(277, 3, [1])
+    if tiled:
+        add(322, 4, [int(tiled)])
+        add(323, 4, [int(tiled)])
+        add(325, 4, [len(s) for s in strips])
+    else:
+        add(278, 4, [rows_per_strip])
+        add(279, 4, [len(s) for s in strips])
+    add(339, 3, [sfmt])
+    add(33550, 12, [abs(gt[1]), abs(gt[5]), 0.0])
+    add(33922, 12, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
+    if m.nodata is not None:
+        add(42113, 2, repr(float(m.nodata)))
+    # strip/tile offsets resolved after layout
+    add(off_tag, 4, [0] * n_str)
+
+    entries.sort(key=lambda e: e[0])
+    n = len(entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + n * 12 + 4     # after IFD
+    # lay out out-of-line entry payloads, then strips
+    payload_pos = {}
+    for i, (tag, typ, cnt, data) in enumerate(entries):
+        if len(data) > 4:
+            payload_pos[i] = data_off + len(extra)
+            extra.extend(data)
+            if len(extra) % 2:
+                extra.append(0)
+    strip_start = data_off + len(extra)
+    offs = []
+    pos = strip_start
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+
+    # rewrite the offsets entry now that positions are known
+    for i, (tag, typ, cnt, data) in enumerate(entries):
+        if tag == off_tag:
+            data = struct.pack("<" + "I" * n_str, *offs)
+            entries[i] = (tag, typ, cnt, data)
+            if len(data) > 4:
+                assert i in payload_pos
+                extra[payload_pos[i] - data_off:
+                      payload_pos[i] - data_off + len(data)] = data
+
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    out += struct.pack("<H", n)
+    for i, (tag, typ, cnt, data) in enumerate(entries):
+        out += struct.pack("<HHI", tag, typ, cnt)
+        if len(data) > 4:
+            out += struct.pack("<I", payload_pos[i])
+        else:
+            out += data.ljust(4, b"\x00")
+    out += struct.pack("<I", 0)             # no next IFD
+    out += extra
+    for s in strips:
+        out += s
+    with open(path, "wb") as f:
+        f.write(bytes(out))

@@ -37,3 +37,38 @@ def test_feature_extraction_pipeline(spark):
     assert {(r.media_id, r.mean_pixel) for r in feats} == {
         (r.media_id, r.mean_pixel) for r in again
     }
+
+
+def test_png_roundtrip_all_filters():
+    from richdem_spark.multimodal import png_decode, png_encode
+
+    rng = np.random.default_rng(5)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (11, 7, ch)).astype(np.uint8)
+        for f in (0, 1, 2, 3, 4):
+            blob = png_encode(img, filter_type=f)
+            got = png_decode(blob)
+            assert np.array_equal(got, img), (ch, f)
+
+
+def test_png_decode_via_decode_image():
+    from richdem_spark.multimodal import png_encode
+
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[0, 0] = (255, 0, 0)
+    img[1, 1] = (0, 0, 255)
+    got = decode_image(png_encode(img))
+    assert got.shape == (2, 2, 3)
+    assert np.array_equal(got, img)
+
+
+def test_png_feature_pipeline_real_codec(spark):
+    media = synth_media(spark, n=24, png=True)
+    feats = extract_features(media, fake_decode=False).collect()
+    assert len(feats) == 24
+    from richdem_spark.multimodal import png_decode
+
+    rows = {r.media_id: r for r in media.collect()}
+    for r in feats:
+        img = png_decode(bytes(rows[r.media_id].payload))
+        assert abs(r.mean_pixel - float(img.mean())) < 1e-9
