@@ -256,6 +256,98 @@ def q_flow_accum_dirs(spark, sf_dir):
     )
 
 
+FG = 16  # fill-oracle grid side (small: the oracle is a recursive CTE)
+FGX = (f"least(greatest(cast(floor(({LON} + 180.0) / 360.0 * {FG}) "
+       f"as bigint), 0), {FG - 1})")
+FGY = (f"least(greatest(cast(floor((90.0 - {LAT}) / 180.0 * {FG}) "
+       f"as bigint), 0), {FG - 1})")
+
+# tie-free shared grid: per-cell doc count + a unique per-cell epsilon
+# (identical arithmetic in Spark float64 and DuckDB double — bit-exact)
+_FILL_GRID_SQL = f"""
+    select g.gx, g.gy,
+           (coalesce(c.n, 0) + (g.gy * {FG} + g.gx) * 1e-6)::double as z
+    from (select t2.range as gx, t1.range as gy
+          from range({FG}) t1, range({FG}) t2) g
+    left join (
+        select {FGX} as gx, {FGY} as gy, count(*)::double as n
+        from documents group by 1, 2
+    ) c on c.gx = g.gx and c.gy = g.gy
+"""
+
+
+def _fill_grid(spark, sf_dir):
+    """The 16x16 tie-free elevation raster shared with the DuckDB
+    oracle (per-cell doc count + unique epsilon)."""
+    from richdem_spark.tiles import TILE_SCHEMA, TiledRaster, pack, unpack
+    from richdem_spark.webtext import rasterize_pages
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(LAT).alias("lat"), F.expr(LON).alias("lon")
+    )
+    tr = rasterize_pages(docs, grid=FG, tile=6, value="count")
+    tw, th = tr.meta.tile_w, tr.meta.tile_h
+
+    def addeps(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = {k: [] for k in ("tile_x", "tile_y", "width",
+                                    "height", "dtype", "nodata", "data")}
+            for r in pdf.itertuples():
+                a = unpack(r.data, r.height, r.width, r.dtype).copy()
+                yy, xx = np.mgrid[0:r.height, 0:r.width]
+                gxs = xx + r.tile_x * tw
+                gys = yy + r.tile_y * th
+                a = a + (gys * FG + gxs) * 1e-6
+                rows["tile_x"].append(r.tile_x)
+                rows["tile_y"].append(r.tile_y)
+                rows["width"].append(r.width)
+                rows["height"].append(r.height)
+                rows["dtype"].append("float64")
+                rows["nodata"].append(None)
+                rows["data"].append(pack(a))
+            yield pd.DataFrame(rows)
+
+    return TiledRaster(tr.df.mapInPandas(addeps, TILE_SCHEMA), tr.meta)
+
+
+def q_fill_grid(spark, sf_dir):
+    """Distributed Priority-Flood fill, value-checked through the driver
+    gate: the oracle computes the same fill as the minimax-path closure
+    (filled = min over border paths of the max elevation en route) via a
+    DuckDB recursive CTE on the shared tie-free grid."""
+    from richdem_spark.api import FillDepressions
+
+    filled = FillDepressions(_fill_grid(spark, sf_dir))
+    return filled.cells().select(
+        F.col("x").cast("long").alias("gx"),
+        F.col("y").cast("long").alias("gy"),
+        F.col("value").cast("double").alias("filled"),
+    )
+
+
+def q_dephier_pits(spark, sf_dir):
+    """Leaf depressions of the distributed hierarchy, value-checked:
+    on a tie-free DEM the leaves are exactly the interior strict local
+    minima (SQL-expressible), with pit_cell/pit_elev matched."""
+    from richdem_spark.api import GetDepressionHierarchy
+    from richdem_spark.kernels.dephier import NO_VALUE
+
+    deps, _labels, _dirs = GetDepressionHierarchy(
+        _fill_grid(spark, sf_dir))
+    # leaves only: metadepressions inherit a child's pit_cell, so
+    # filter on childlessness, not on pit_cell presence
+    rows = [
+        (int(d.pit_cell), float(d.pit_elev))
+        for i, d in enumerate(deps)
+        if i and d.lchild == NO_VALUE and d.pit_cell != NO_VALUE
+    ]
+    return spark.createDataFrame(
+        rows or [(-1, 0.0)], "pit_cell bigint, pit_elev double")
+
+
 def q_fill_accum_demo(spark, sf_dir):
     """Hydrology flagship (rows-only check — Priority-Flood + D8
     accumulation are not SQL-expressible; their exactness is proven in
@@ -577,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sites_cells": q_knn_sites_cells,
         "raster_vector_pair": q_raster_vector_pair,
         "flow_accum_dirs": q_flow_accum_dirs,
+        "fill_grid": q_fill_grid,
+        "dephier_pits": q_dephier_pits,
         "fill_accum_demo": q_fill_accum_demo,
         "dephier_fsm_demo": q_dephier_fsm_demo,
         "dedup_exact": q_dedup_exact,
@@ -630,6 +724,35 @@ def _mh(j: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "fill_grid": f"""
+            with recursive grid as ({_FILL_GRID_SQL}),
+            reach as (
+                select gx, gy, z as b from grid
+                where gx in (0, {FG - 1}) or gy in (0, {FG - 1})
+                union
+                select g.gx, g.gy, greatest(g.z, r.b) as b
+                from reach r
+                join grid g on abs(g.gx - r.gx) <= 1
+                           and abs(g.gy - r.gy) <= 1
+                           and not (g.gx = r.gx and g.gy = r.gy)
+            )
+            select gx::bigint as gx, gy::bigint as gy,
+                   min(b)::double as filled
+            from reach group by gx, gy
+        """,
+        "dephier_pits": f"""
+            with grid as ({_FILL_GRID_SQL})
+            select (m.gy * {FG} + m.gx)::bigint as pit_cell,
+                   m.z::double as pit_elev
+            from grid m
+            where m.gx not in (0, {FG - 1}) and m.gy not in (0, {FG - 1})
+              and not exists (
+                  select 1 from grid n
+                  where abs(n.gx - m.gx) <= 1 and abs(n.gy - m.gy) <= 1
+                    and not (n.gx = m.gx and n.gy = m.gy)
+                    and n.z <= m.z
+              )
+        """,
         "rasterize_cells": f"""
             select gx, gy, count(*)::bigint as n_pages
             from ({_CELLS}) group by gx, gy
