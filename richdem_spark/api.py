@@ -209,7 +209,8 @@ def FlowAccumulation(
         from .ops.mfd import flow_accumulation_mfd
 
         return flow_accumulation_mfd(
-            tr, method, exponent=params.get("exponent")
+            tr, method, exponent=params.get("exponent"),
+            metrics=params.get("metrics"),
         )
     raise KeyError(
         f"method {method!r}; available {sorted(_SFD_METHODS | _MFD_METHODS)}"
@@ -358,6 +359,7 @@ def BreachDepressions(
     max_depth: float = float("inf"),
     max_rounds: int | None = None,
     max_cells: int | None = None,
+    metrics: dict | None = None,
 ) -> TiledRaster:
     """Lindsay 2016 breaching (depressions/Lindsay2016.hpp:227-423),
     fully distributed at any raster size (no gather, no size gate).
@@ -394,7 +396,7 @@ def BreachDepressions(
         )
     return breach_depressions_tiled(
         tr, mode, epsilon, fill, max_path_len, max_depth,
-        max_rounds=max_rounds,
+        max_rounds=max_rounds, metrics=metrics,
     )
 
 

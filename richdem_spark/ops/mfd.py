@@ -249,8 +249,13 @@ def _route(P, weights_padded, tile_x, tile_y, pt, pl, h, w, meta):
 
 def flow_accumulation_mfd(
     tr: TiledRaster, method: str = "Quinn", exponent: float | None = None,
-    max_rounds: int = 10_000,
+    max_rounds: int = 10_000, metrics: dict | None = None,
 ) -> TiledRaster:
+    """``metrics`` (optional dict) receives ``rounds`` and
+    ``inflight_per_round`` (injection/credit row counts) — convergence
+    telemetry so a production run can SEE how many seam rounds a long
+    river costs (each round is O(perimeter) traffic; the round count
+    scales with seam crossings of the longest flow path / HALO_K)."""
     meta = tr.meta
     fm = _FMS[method]
     tw, th = meta.tile_w, meta.tile_h
@@ -335,17 +340,28 @@ def flow_accumulation_mfd(
     state = joined0.mapInPandas(round0, _STATE_SCHEMA) \
         .localCheckpoint(eager=True)
 
+    import gc as _gc
     import os as _os
 
     _dbg = _os.environ.get("RICHDEM_SPARK_DEBUG_MFD")
+    inflight: list[int] = []
+    rounds_done = 0
     for _round in range(max_rounds):
         # loop-control scalar only — injection/credit rows never touch
         # the driver: exploded, re-keyed by owner tile, shuffled back
         n_out = state.agg(F.sum(F.size("ogx")).alias("n")).first()["n"]
         if _dbg:
             print(f"MFDDBG round={_round} n_out={n_out}", flush=True)
+        if n_out:
+            inflight.append(int(n_out))
         if not n_out:
             break
+        rounds_done += 1
+        # rebinding `state` below drops the only reference to the prior
+        # round's localCheckpoint blocks; nudge the ContextCleaner so
+        # executor storage stays O(one round) on long convergences
+        if rounds_done % 16 == 0:
+            _gc.collect()
         inj_df = (
             state.select(
                 F.explode(
@@ -425,6 +441,10 @@ def flow_accumulation_mfd(
         # localCheckpoint truncates lineage so the plan stays flat
         state = joined.mapInPandas(step, _STATE_SCHEMA) \
             .localCheckpoint(eager=True)
+
+    if metrics is not None:
+        metrics["rounds"] = rounds_done
+        metrics["inflight_per_round"] = inflight
 
     out_df = state.select(
         "tile_x", "tile_y", "width", "height",

@@ -267,3 +267,41 @@ def test_multi_tile_d4_epsilon_fill(spark):
     # epsilon raises by nextafter chains only (tiny absolute budget even
     # for zero-valued cells, where rtol would be meaningless)
     assert float((eps - plain).max()) <= 1e-9
+
+
+def test_garbrecht_resolves_flats():
+    """Garbrecht 1997 legacy kernel (flats/garbrecht.hpp): after the
+    two gradient sweeps every drainable flat cell drains; elevations
+    move by exactly (inc1+inc2)*epsilon."""
+    import numpy as np
+
+    from richdem_spark.constants import NO_FLOW
+    from richdem_spark.kernels.d8 import d8_flow_directions
+    from richdem_spark.kernels.fill import priority_flood_fill
+    from richdem_spark.kernels.garbrecht import (
+        garbrecht_alg,
+        gradient_away_from_higher,
+        gradient_towards_lower,
+    )
+
+    rng = np.random.default_rng(12)
+    for _ in range(3):
+        dem = np.round(rng.random((20, 20)) * 4)  # coarse: many flats
+        filled = priority_flood_fill(dem, nodata=None)
+        dirs = d8_flow_directions(filled)
+        flats = dirs == NO_FLOW
+        if not flats.any():
+            continue
+        inc1 = gradient_towards_lower(filled, dirs)
+        inc2 = gradient_away_from_higher(filled, dirs)
+        # gradients live only on flat cells
+        assert (inc1[~flats] == 0).all() and (inc2[~flats] == 0).all()
+        out, ndirs = garbrecht_alg(filled, dirs)
+        # the epsilon combination is exactly the reference formula
+        np.testing.assert_allclose(
+            out - filled,
+            ((inc1 + inc2).astype(np.float32)
+             * np.float32(0.001)).astype(np.float64))
+        # flats shrink dramatically and the surface only ever rises
+        assert (ndirs == NO_FLOW).sum() < flats.sum()
+        assert (out >= filled).all()

@@ -249,3 +249,27 @@ def test_fill_nodata_dense_label_namespace(spark):
                                nodata=-9.0)
         assert np.array_equal(FillDepressions(tr).to_array(), golden), \
             (tw, th)
+
+
+def test_convergence_telemetry(spark):
+    """MFD and breach expose rounds / in-flight counts so production
+    runs can observe seam-iteration convergence."""
+    import numpy as np
+
+    from richdem_spark.api import BreachDepressions, FlowAccumulation
+    from richdem_spark.tiles import raster_from_array
+
+    rng = np.random.default_rng(4)
+    dem = rng.random((24, 24)) * 5 + np.arange(24)[None, :]
+    tr = raster_from_array(spark, dem, tile_w=8, tile_h=8)
+
+    m1: dict = {}
+    FlowAccumulation(tr, "Quinn", metrics=m1).df.count()
+    assert m1["rounds"] >= 0
+    assert all(n > 0 for n in m1["inflight_per_round"])
+
+    m2: dict = {}
+    BreachDepressions(tr, metrics=m2).df.count()
+    assert m2["carve_rounds"] >= 1
+    assert len(m2["carve_live_per_round"]) == m2["carve_rounds"]
+    assert m2["carve_live_per_round"][-1] == 0
