@@ -348,6 +348,22 @@ def q_dephier_pits(spark, sf_dir):
         rows or [(-1, 0.0)], "pit_cell bigint, pit_elev double")
 
 
+def q_flow_dirs_grid(spark, sf_dir):
+    """Distributed D8 flow directions, value-checked through the driver
+    gate: on the tie-free shared grid steepest descent is a plain SQL
+    argmin over the 8 neighbours (the even/odd tie-steal quirk cannot
+    fire without ties; that path is golden-tested in tests/), with the
+    reference's forced-outward edge rule."""
+    from richdem_spark.api import FlowDirectionsD8
+
+    dirs = FlowDirectionsD8(_fill_grid(spark, sf_dir))
+    return dirs.cells().select(
+        F.col("x").cast("long").alias("gx"),
+        F.col("y").cast("long").alias("gy"),
+        F.col("value").cast("long").alias("d8"),
+    )
+
+
 def q_fill_accum_demo(spark, sf_dir):
     """Hydrology flagship (rows-only check — Priority-Flood + D8
     accumulation are not SQL-expressible; their exactness is proven in
@@ -670,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector_pair": q_raster_vector_pair,
         "flow_accum_dirs": q_flow_accum_dirs,
         "fill_grid": q_fill_grid,
+        "flow_dirs_grid": q_flow_dirs_grid,
         "dephier_pits": q_dephier_pits,
         "fill_accum_demo": q_fill_accum_demo,
         "dephier_fsm_demo": q_dephier_fsm_demo,
@@ -739,6 +756,47 @@ def oracle_sql() -> dict[str, str]:
             select gx::bigint as gx, gy::bigint as gy,
                    min(b)::double as filled
             from reach group by gx, gy
+        """,
+        "flow_dirs_grid": f"""
+            with grid as ({_FILL_GRID_SQL}),
+            nb as (
+                select m.gx, m.gy, m.z,
+                       n.z as nz,
+                       case
+                         when n.gx < m.gx and n.gy = m.gy then 1
+                         when n.gx < m.gx and n.gy < m.gy then 2
+                         when n.gx = m.gx and n.gy < m.gy then 3
+                         when n.gx > m.gx and n.gy < m.gy then 4
+                         when n.gx > m.gx and n.gy = m.gy then 5
+                         when n.gx > m.gx and n.gy > m.gy then 6
+                         when n.gx = m.gx and n.gy > m.gy then 7
+                         else 8
+                       end as slot
+                from grid m
+                join grid n on abs(n.gx - m.gx) <= 1
+                           and abs(n.gy - m.gy) <= 1
+                           and not (n.gx = m.gx and n.gy = m.gy)
+            ),
+            pick as (
+                select gx, gy,
+                       min(nz) as mz, max(z) as z,
+                       arg_min(slot, nz) as best_slot
+                from nb group by gx, gy
+            )
+            select gx::bigint as gx, gy::bigint as gy,
+                   (case
+                      when gx = 0 and gy = 0 then 2
+                      when gx = {FG - 1} and gy = 0 then 4
+                      when gx = 0 and gy = {FG - 1} then 8
+                      when gx = {FG - 1} and gy = {FG - 1} then 6
+                      when gy = 0 then 3
+                      when gy = {FG - 1} then 7
+                      when gx = 0 then 1
+                      when gx = {FG - 1} then 5
+                      when mz < z then best_slot
+                      else 0
+                    end)::bigint as d8
+            from pick
         """,
         "dephier_pits": f"""
             with grid as ({_FILL_GRID_SQL})
