@@ -527,6 +527,28 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN in its exact configuration (nprobe = n_centroids: every
+    cell probed -> brute-force-equal, hence SQL-oracle-checkable; recall
+    at small nprobe is measured in tests/test_guards_scale.py)."""
+    from richdem_spark.vector import ivf_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"),
+    )
+    return ivf_topk(
+        emb, probe_ids=[5, 6, 7, 8, 9], k=5, n_centroids=8, nprobe=8,
+        iters=3,
+    ).select(
+        F.col("probe_id").cast("long"),
+        F.col("cand_id").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("cosine").cast("double"),
+    )
+
+
 def q_embedding_lsh(spark, sf_dir):
     from richdem_spark.vector import lsh_buckets
 
@@ -702,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
         "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_lsh": q_embedding_lsh,
         "pricing_summary": q_pricing_summary,
         "orders_by_segment": q_orders_by_segment,
@@ -1116,6 +1139,30 @@ def oracle_sql() -> dict[str, str]:
             with sh as ({_SHINGLES})
             select doc_id::bigint as doc_id, {_mh(0)}::bigint as fingerprint
             from sh group by doc_id
+        """,
+        "ivf_topk": """
+            with e as (
+                select vec_id, embedding::double[] as v from embeddings
+            ), probes as (
+                select vec_id as probe_id, v as pv from e
+                where vec_id >= 5 and vec_id < 10
+            ), sims as (
+                select probe_id, e.vec_id as cand_id,
+                       round(
+                         list_dot_product(pv, v) /
+                         (sqrt(list_dot_product(pv, pv))
+                          * sqrt(list_dot_product(v, v))), 6) as cosine
+                from probes, e
+                where e.vec_id != probe_id
+            ), r as (
+                select probe_id, cand_id, cosine, row_number() over (
+                    partition by probe_id
+                    order by cosine desc, cand_id asc) as rank
+                from sims
+            )
+            select probe_id::bigint as probe_id, cand_id::bigint as cand_id,
+                   rank::bigint as rank, cosine::double as cosine
+            from r where rank <= 5
         """,
         "cosine_topk": """
             with e as (

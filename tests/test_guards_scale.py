@@ -218,3 +218,32 @@ def test_executor_solve_path(spark, monkeypatch):
             assert np.array_equal(a, b)
         else:
             assert a == b
+
+
+def test_ivf_topk_exact_and_recall(spark):
+    """IVF ANN: nprobe=n_centroids degenerates to exact brute force;
+    nprobe=2 of 8 keeps recall@5 above the floor on clustered data."""
+    import numpy as np
+
+    from richdem_spark.vector import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(6, 12))
+    rows = []
+    for i in range(240):
+        v = centers[i % 6] + rng.normal(scale=0.15, size=12)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = [0, 1, 2, 3, 4, 5]
+
+    exact = cosine_topk(df, probes, k=5)
+    ex = {(r.probe_id, r.cand_id, r.rank) for r in exact.collect()}
+
+    full = ivf_topk(df, probes, k=5, n_centroids=8, nprobe=8, iters=4)
+    assert {(r.probe_id, r.cand_id, r.rank) for r in full.collect()} == ex
+
+    approx = ivf_topk(df, probes, k=5, n_centroids=8, nprobe=2, iters=4)
+    ap = {(r.probe_id, r.cand_id) for r in approx.collect()}
+    exact_pairs = {(p, c) for (p, c, _r) in ex}
+    recall = len(ap & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.7, f"IVF recall {recall:.2f} below floor"
