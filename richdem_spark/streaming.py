@@ -59,6 +59,50 @@ def streaming_cell_counts(
     )
 
 
+def streaming_dedup_exact(
+    pages: DataFrame,
+    watermark: str = "2 hours",
+    key_cols: tuple = ("text",),
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first page per content key within
+    the watermark horizon (``dropDuplicatesWithinWatermark`` — state
+    bounded by horizon x distinct keys, unlike plain dropDuplicates
+    whose state grows forever).  The streaming twin of
+    textops.dedup_exact for a continuously-crawled corpus; recrawls and
+    mirror fetches inside the horizon collapse to one row."""
+    hashed = pages.withColumn(
+        "content_h", F.md5(F.concat_ws("\x00", *key_cols))
+    )
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_h"])
+    )
+
+
+def streaming_quality_monitor(
+    pages: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Windowed corpus-quality telemetry: per language per window, page
+    count, mean text length, and blank-page share — the live counterpart
+    of the batch quality_score pass; all JVM codegen."""
+    return (
+        pages.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.avg(F.length("text")).alias("mean_len"),
+            F.avg((F.length(F.trim(F.col("text"))) == 0)
+                  .cast("double")).alias("blank_share"),
+        )
+        .select(F.col("win.start").alias("window_start"), "lang",
+                "n_pages", "mean_len", "blank_share")
+    )
+
+
 def run_incremental_rasterization(
     spark: SparkSession,
     input_path: str,
