@@ -31,7 +31,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "200000"))
 GRID = int(os.environ.get("SPARK_GRAFT_GRID", "1024"))
-TILE = int(os.environ.get("SPARK_GRAFT_TILE", "256"))
+# tile sizing: want ntiles >= ~2x cores so every executor thread gets
+# multiple waves of work (1024^2 grid / 128^2 tiles = 64 tasks on 32
+# cores; 256^2 tiles left half the cores idle — measured ~15% slower)
+TILE = int(os.environ.get("SPARK_GRAFT_TILE", "128"))
 REPS = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
 
 
