@@ -445,6 +445,25 @@ def q_minhash_signatures(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster collapse: minhash-LSH pairs -> connected
+    components -> (member, cluster=min reachable id), the canonical
+    keeper assignment a dedup pipeline retains.  Oracle = transitive
+    closure (recursive CTE) over the same pair set."""
+    from richdem_spark.textops import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+        shingles,
+    )
+
+    sh = shingles(_docs(spark, sf_dir))
+    pairs = minhash_lsh_pairs(sh, num_hashes=4, bands=2) \
+        .select("a", "b").distinct()
+    return near_dup_clusters(pairs).select(
+        F.col("member").cast("long"), F.col("cluster").cast("long")
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     from richdem_spark.textops import minhash_lsh_pairs, shingles
 
@@ -718,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "lsh_guard": q_lsh_guard,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_guard": q_ngram_guard,
@@ -1031,6 +1051,42 @@ def oracle_sql() -> dict[str, str]:
                    {_mh(0)}::bigint as mh0, {_mh(1)}::bigint as mh1,
                    {_mh(2)}::bigint as mh2, {_mh(3)}::bigint as mh3
             from sh group by doc_id
+        """,
+        "dedup_clusters": f"""
+            with recursive sh as ({_SHINGLES}),
+            sig as (
+                select doc_id, {_mh(0)} as mh0, {_mh(1)} as mh1,
+                       {_mh(2)} as mh2, {_mh(3)} as mh3
+                from sh group by doc_id
+            ),
+            bands as (
+                select doc_id as doc, 0 as band,
+                       mh0::varchar || '_' || mh1::varchar as bucket
+                from sig
+                union all
+                select doc_id as doc, 1 as band,
+                       mh2::varchar || '_' || mh3::varchar as bucket
+                from sig
+            ),
+            p as (
+                select distinct l.doc as a, r.doc as b
+                from bands l join bands r
+                  on l.band = r.band and l.bucket = r.bucket
+                where l.doc < r.doc
+            ),
+            edges as (
+                select a as x, b as y from p
+                union
+                select b as x, a as y from p
+            ),
+            reach as (
+                select x, y from edges
+                union
+                select r.x, e.y from reach r join edges e on r.y = e.x
+            )
+            select x::bigint as member,
+                   least(x, min(y))::bigint as cluster
+            from reach group by x
         """,
         "minhash_lsh_pairs": f"""
             with sh as ({_SHINGLES}),

@@ -329,3 +329,68 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     return sh.groupBy(id_col).agg(
         F.min(_shingle_hash(F.col("shingle"), 0)).alias("fingerprint")
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Collapse near-duplicate PAIRS (from minhash-LSH / n-gram Jaccard
+    / embedding near-dup) into CLUSTERS: ``(member, cluster)`` where
+    ``cluster`` is the minimum id reachable through the pair graph —
+    the canonical keeper a dedup pipeline retains.
+
+    Connected components by min-label propagation with a
+    pointer-doubling hop each round (label <- min(label, label of my
+    label)), so rounds scale with log(component diameter), not
+    diameter.  Per round: one O(|E|) join + one O(|V|) self-join — the
+    pair graph is tiny relative to the corpus (only near-dup members
+    appear).  Each round is checkpointed; the loop stops at fixpoint."""
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select("x").distinct().withColumn("lbl", F.col("x"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr = (
+            edges.join(
+                labels.select(F.col("x").alias("y"),
+                              F.col("lbl").alias("nl")),
+                "y",
+            )
+            .groupBy("x")
+            .agg(F.min("nl").alias("nmin"))
+        )
+        prop = labels.join(nbr, "x", "left").select(
+            "x",
+            F.least("lbl", F.coalesce("nmin", "lbl")).alias("lbl"),
+        )
+        # pointer doubling: jump to my label's label
+        hop = prop.join(
+            prop.select(F.col("x").alias("lbl"),
+                        F.col("lbl").alias("ll")),
+            "lbl", "left",
+        ).select(
+            "x", F.least("lbl", F.coalesce("ll", "lbl")).alias("lbl")
+        ).localCheckpoint(eager=True)
+        n_changed = (
+            hop.join(labels.select("x", F.col("lbl").alias("old")), "x")
+            .where(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = hop
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("x").alias("member"), F.col("lbl").alias("cluster")
+    )

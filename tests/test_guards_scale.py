@@ -247,3 +247,26 @@ def test_ivf_topk_exact_and_recall(spark):
     exact_pairs = {(p, c) for (p, c, _r) in ex}
     recall = len(ap & exact_pairs) / len(exact_pairs)
     assert recall >= 0.7, f"IVF recall {recall:.2f} below floor"
+
+
+def test_near_dup_clusters_components(spark):
+    """Cluster collapse: min-reachable-id components over the pair
+    graph, pointer-doubling rounds (log diameter)."""
+    from richdem_spark.textops import near_dup_clusters
+
+    pairs = (
+        [(i, i + 1) for i in range(30)]          # one 31-node chain
+        + [(100, 101), (101, 102)]               # small path
+        + [(50, 60), (60, 70), (70, 50)]         # triangle
+        + [(200, 201)]                           # single edge
+    )
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {(r.member, r.cluster)
+           for r in near_dup_clusters(df).collect()}
+    exp = (
+        {(i, 0) for i in range(31)}
+        | {(i, 100) for i in (100, 101, 102)}
+        | {(50, 50), (60, 50), (70, 50)}
+        | {(200, 200), (201, 200)}
+    )
+    assert got == exp
