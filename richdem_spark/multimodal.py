@@ -217,6 +217,90 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize (pure NumPy index gather)."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("payload", BinaryType(), False),  # PNG re-encoded
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, out_h: int = 8, out_w: int = 8,
+    fake_decode: bool = False,
+) -> DataFrame:
+    """Decode -> nearest-neighbour resize -> PNG re-encode, one Arrow
+    batch per partition slice.  PNG payloads round-trip through the real
+    codec; other formats need ``fake_decode=True``."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in RESIZED_SCHEMA.fields}
+            for r in pdf.itertuples():
+                img = decode_image(bytes(r.payload), fake=fake_decode)
+                small = resize_image(img, out_h, out_w)
+                out["media_id"].append(r.media_id)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["payload"].append(png_encode(small))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("frame", BinaryType(), False),    # PNG
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, side: int = 8,
+) -> DataFrame:
+    """Frame sampling for video rows: one output row per ``every_ms`` of
+    ``duration_ms``.  No video codec exists in this environment, so the
+    DECODE of each frame is a deterministic fake (payload + timestamp
+    hashed into pixels, clearly marked); the Spark-side plumbing — the
+    1->N explode shape, schema, batch flow, PNG framing — is the real
+    contract a codec-backed decoder drops into."""
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in FRAME_SCHEMA.fields}
+            for r in pdf.itertuples():
+                dur = int(r.duration_ms or 0)
+                n = max(1, dur // every_ms)
+                seed = np.frombuffer(
+                    bytes(r.payload)[:8].ljust(8, b"\0"), np.uint64)[0]
+                for i in range(n):
+                    # deterministic FAKE frame (no codec): hash pixels
+                    px = (np.arange(side * side * 3, dtype=np.uint64)
+                          * (seed + np.uint64(i * 2654435761 + 1)))
+                    img = (px % np.uint64(256)).astype(np.uint8) \
+                        .reshape(side, side, 3)
+                    out["media_id"].append(r.media_id)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame"].append(png_encode(img))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def synth_media(
     spark, n: int = 64, seed: int = 1, png: bool = False
 ) -> DataFrame:

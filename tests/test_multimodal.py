@@ -72,3 +72,46 @@ def test_png_feature_pipeline_real_codec(spark):
     for r in feats:
         img = png_decode(bytes(rows[r.media_id].payload))
         assert abs(r.mean_pixel - float(img.mean())) < 1e-9
+
+
+def test_resize_media_roundtrip(spark):
+    from richdem_spark.multimodal import (
+        png_decode,
+        resize_image,
+        resize_media,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=12, png=True)
+    rows = {r.media_id: r for r in media.collect()}
+    out = resize_media(media, out_h=4, out_w=4).collect()
+    assert len(out) == 12
+    for r in out:
+        got = png_decode(bytes(r.payload))
+        src = png_decode(bytes(rows[r.media_id].payload))
+        exp = resize_image(src, 4, 4)
+        assert np.array_equal(got, exp)
+
+
+def test_sample_frames_plumbing(spark):
+    from richdem_spark.multimodal import png_decode, sample_frames
+
+    rows = [
+        (1, "video", "video/fake", None, None, 3500, b"vidpayload1"),
+        (2, "video", "video/fake", None, None, 900, b"vidpayload2"),
+    ]
+    from richdem_spark.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_frames(media, every_ms=1000).collect()
+    by_id = {}
+    for f in frames:
+        by_id.setdefault(f.media_id, []).append(f)
+    assert len(by_id[1]) == 3 and len(by_id[2]) == 1
+    assert sorted(f.ts_ms for f in by_id[1]) == [0, 1000, 2000]
+    # frames are decodable PNGs and deterministic
+    img = png_decode(bytes(by_id[1][0].frame))
+    assert img.shape == (8, 8, 3)
+    again = sample_frames(media, every_ms=1000).collect()
+    assert {(f.media_id, f.frame_idx, bytes(f.frame)) for f in frames} \
+        == {(f.media_id, f.frame_idx, bytes(f.frame)) for f in again}
