@@ -218,17 +218,9 @@ def FlowAccumulation(
 
 
 def _mfd_accumulation_single_tile(tr: TiledRaster, method: str, **params):
-    """Fused FM_* + generic accumulation for multi-flow metrics.  v1
-    requires the raster to fit one tile (the reference's own parallel
-    programs are D8-only; a distributed MFD needs iterative halo
-    propagation — roadmap)."""
-    m = tr.meta
-    if m.ntiles_x != 1 or m.ntiles_y != 1:
-        raise NotImplementedError(
-            f"multi-flow method {method!r} currently requires a "
-            "single-tile raster (distributed MFD pending); got "
-            f"{m.ntiles_x}x{m.ntiles_y} tiles"
-        )
+    """Fused FM_* + generic accumulation for multi-flow metrics on a
+    single-tile raster (the multi-tile path is ops/mfd.py; the caller
+    dispatches on tile count)."""
     from .kernels import flowmet as fmk
 
     fm = {

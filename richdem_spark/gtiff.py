@@ -4,10 +4,18 @@ with a pure-stdlib TIFF 6.0 parser.
 
 Scope: classic (non-Big) TIFF, single-sample rasters (DEMs), 8/16/32/64
 bit unsigned/signed/float samples, strip or tile organization,
-uncompressed or DEFLATE (zlib) compression, horizontal-predictor
-support, GeoTIFF ModelPixelScale/ModelTiepoint -> geotransform and the
-GDAL_NODATA ASCII tag.  That covers the common DEM interchange files;
-exotic layouts raise with a clear message.
+uncompressed, DEFLATE (zlib), LZW, or PackBits compression,
+horizontal-predictor support, GeoTIFF ModelPixelScale/ModelTiepoint ->
+geotransform and the GDAL_NODATA ASCII tag.  That covers the common DEM
+interchange files (USGS/Copernicus tiles ship LZW); exotic layouts
+raise with a clear message.
+
+Known limitation: a COMPRESSED file written as one giant strip decodes
+in a single executor task (compressed byte streams cannot be split
+mid-stream).  Uncompressed oversized strips ARE split into row-range
+sub-segments (exact offset arithmetic), so only the
+compressed-single-strip corner degenerates; re-strip such files for
+parallel ingest.
 
 Scale path: :func:`read_geotiff` parses the IFD on the driver (a few KB
 of seeks), then ships one row PER SEGMENT (strip/tile byte range) to
@@ -50,6 +58,144 @@ _DTYPES = {
     (2, 8): "int8", (2, 16): "int16", (2, 32): "int32",
     (3, 32): "float32", (3, 64): "float64",
 }
+
+# TIFF compression tags we can decode
+_COMP_NONE, _COMP_LZW, _COMP_DEFLATE = 1, 5, 8
+_COMP_ADOBE_DEFLATE, _COMP_PACKBITS = 32946, 32773
+_SUPPORTED_COMP = (_COMP_NONE, _COMP_LZW, _COMP_DEFLATE,
+                   _COMP_ADOBE_DEFLATE, _COMP_PACKBITS)
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_decode(blob: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 9->12 bit
+    codes with the *early-change* width bump (the width grows when the
+    NEXT code to be added would no longer fit, i.e. at table sizes 511 /
+    1023 / 2047 — what libtiff and every GDAL-written file use)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = bits = 0
+    prev: bytes | None = None
+    for byte in blob:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (acc >> bits) & ((1 << width) - 1)
+            if code == _LZW_CLEAR:
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == _LZW_EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code} "
+                                 f"beyond table size {len(table)}")
+            out += entry
+            prev = entry
+            # early change: the decoder's table lags the encoder's by one
+            # entry (the encoder adds when it EMITS, the decoder when it
+            # READS the next code), so it bumps at 510/1022/2046 — one
+            # before the encoder's 511/1023/2047
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (round-trip twin of :func:`lzw_decode`;
+    same early-change discipline, Clear emitted at table-full)."""
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, bits
+        acc = (acc << width) | code
+        bits += width
+        while bits >= 8:
+            bits -= 8
+            out.append((acc >> bits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_LZW_CLEAR, width)
+    run = b""
+    for byte in data:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:           # table nearly full: reset
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        run = bytes([byte])
+    if run:
+        emit(table[run], width)
+    emit(_LZW_EOI, width)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def packbits_decode(blob: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9)."""
+    out = bytearray()
+    i, n = 0, len(blob)
+    while i < n:
+        h = blob[i]
+        i += 1
+        if h < 128:                     # literal run of h+1 bytes
+            out += blob[i:i + h + 1]
+            i += h + 1
+        elif h > 128:                   # repeat next byte 257-h times
+            out += blob[i:i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (repeat runs >=3 encoded as RLE, else literals)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure the repeat run at i
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        runlen = j - i + 1
+        if runlen >= 3:
+            out += bytes([257 - runlen, data[i]])
+            i = j + 1
+            continue
+        # literal run until the next >=3 repeat (or 128 bytes)
+        lit = i
+        while lit < n and lit - i < 128:
+            if (lit < n - 2 and data[lit] == data[lit + 1]
+                    == data[lit + 2]):
+                break
+            lit += 1
+        out += bytes([lit - i - 1]) + data[i:lit]
+        i = lit
+    return bytes(out)
 
 
 def _read_ifd(f, bo: str) -> dict[int, list]:
@@ -125,9 +271,10 @@ def parse_geotiff(path: str) -> dict:
         raise NotImplementedError("only single-sample rasters (DEMs)")
     bits = int(one(258, 8))
     comp = int(one(259, 1))
-    if comp not in (1, 8, 32946):
+    if comp not in _SUPPORTED_COMP:
         raise NotImplementedError(
-            f"TIFF compression {comp} unsupported (need none/deflate)")
+            f"TIFF compression {comp} unsupported "
+            "(need none/deflate/lzw/packbits)")
     sfmt = int(one(339, 1))
     dtype = _DTYPES.get((sfmt, bits))
     if dtype is None:
@@ -188,8 +335,12 @@ _SEG_SCHEMA = StructType([
 
 def _decode_segment(blob: bytes, sw: int, sh: int, dtype: str,
                     comp: int, predictor: int, bo: str) -> np.ndarray:
-    if comp in (8, 32946):
+    if comp in (_COMP_DEFLATE, _COMP_ADOBE_DEFLATE):
         blob = zlib.decompress(blob)
+    elif comp == _COMP_LZW:
+        blob = lzw_decode(blob)
+    elif comp == _COMP_PACKBITS:
+        blob = packbits_decode(blob)
     dt = np.dtype(dtype).newbyteorder(bo)
     n = sw * sh
     a = np.frombuffer(blob[:n * dt.itemsize], dtype=dt)
@@ -220,8 +371,24 @@ def read_geotiff(
     dtype, comp, pred, bo = (info["dtype"], info["compression"],
                              info["predictor"], info["bo"])
 
+    segments = info["segments"]
+    if comp == _COMP_NONE:
+        # GDAL commonly writes one huge strip; uncompressed row data has
+        # exact per-row offsets, so split oversized strips into row-range
+        # sub-segments to keep the decode distributed (the predictor is
+        # per-row, so the split is semantics-preserving)
+        item = np.dtype(dtype).itemsize
+        split, out = max(tile_h, 256), []
+        for (sx, sy, sw, sh, o, c) in segments:
+            bpr = sw * item          # segment row stride (tile or strip)
+            for r0 in range(0, sh, split):
+                rn = min(split, sh - r0)
+                out.append((sx, sy + r0, sw, rn,
+                            o + r0 * bpr, rn * bpr))
+        segments = out
+
     seg_rows = [(sx, sy, sw, sh, o, c, path)
-                for (sx, sy, sw, sh, o, c) in info["segments"]]
+                for (sx, sy, sw, sh, o, c) in segments]
     segs = spark.createDataFrame(seg_rows, _SEG_SCHEMA).repartition(
         min(len(seg_rows), spark.sparkContext.defaultParallelism))
 
@@ -266,19 +433,29 @@ def read_geotiff(
 
 
 def write_geotiff(
-    tr: TiledRaster, path: str, compress: bool = True,
+    tr: TiledRaster, path: str, compress: bool | str = True,
     rows_per_strip: int = 256, tiled: int | None = None,
 ) -> None:
     """Driver-side GeoTIFF writer with ModelPixelScale/ModelTiepoint and
     GDAL_NODATA — round-trip / small export utility; the scale sink is
     the bucketed tile table.  ``tiled=N`` writes a tiled layout (N a
-    multiple of 16, edge tiles padded per spec) instead of strips."""
+    multiple of 16, edge tiles padded per spec) instead of strips.
+    ``compress``: True/'deflate', 'lzw', 'packbits', or False."""
     arr = tr.to_array()
     m = tr.meta
     H, W = arr.shape
     dt = np.dtype(m.dtype)
     sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
+
+    comp_tag, enc = {
+        True: (_COMP_DEFLATE, lambda b: zlib.compress(b, 6)),
+        "deflate": (_COMP_DEFLATE, lambda b: zlib.compress(b, 6)),
+        "lzw": (_COMP_LZW, lzw_encode),
+        "packbits": (_COMP_PACKBITS, packbits_encode),
+        False: (_COMP_NONE, lambda b: b),
+        None: (_COMP_NONE, lambda b: b),
+    }[compress]
 
     strips = []
     if tiled:
@@ -290,16 +467,26 @@ def write_geotiff(
                 block = np.zeros((ts, ts), dt)
                 sub = arr[sy:sy + ts, sx:sx + ts]
                 block[:sub.shape[0], :sub.shape[1]] = sub
-                raw = block.tobytes()
-                strips.append(zlib.compress(raw, 6) if compress else raw)
+                strips.append(enc(block.tobytes()))
     else:
         for sy in range(0, H, rows_per_strip):
             raw = np.ascontiguousarray(
                 arr[sy:sy + rows_per_strip]).astype(
                     dt, copy=False).tobytes()
-            strips.append(zlib.compress(raw, 6) if compress else raw)
+            strips.append(enc(raw))
 
     gt = m.geotransform
+    # ModelPixelScale/ModelTiepoint can only express axis-aligned,
+    # north-up rasters; anything else would round-trip with silently
+    # wrong georeferencing, so refuse per the module's scope contract.
+    if gt[2] != 0.0 or gt[4] != 0.0:
+        raise NotImplementedError(
+            "rotated geotransform (gt[2]/gt[4] != 0) cannot be encoded "
+            "as ModelPixelScale/ModelTiepoint")
+    if gt[1] < 0 or gt[5] > 0:
+        raise NotImplementedError(
+            "south-up / west-flipped geotransform cannot be encoded as "
+            "ModelPixelScale/ModelTiepoint (needs a full ModelTransform)")
     entries: list[tuple[int, int, int, bytes]] = []  # tag,type,cnt,payload
     extra = bytearray()
 
@@ -318,7 +505,7 @@ def write_geotiff(
     add(256, 4, [W])
     add(257, 4, [H])
     add(258, 3, [bits])
-    add(259, 3, [8 if compress else 1])
+    add(259, 3, [comp_tag])
     add(262, 3, [1])                        # BlackIsZero
     add(277, 3, [1])
     if tiled:

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import D8X, D8Y, NO_FLOW
+from ..constants import D8X, D8Y, FLOWDIR_NO_DATA, NO_FLOW
 
 
 def _neighbor_any(mask_src: np.ndarray, out: np.ndarray) -> None:
@@ -106,13 +106,18 @@ def gradient_away_from_higher(elev: np.ndarray,
 
 
 def garbrecht_alg(elev: np.ndarray, flowdirs: np.ndarray,
-                  epsilon: float = 0.001):
+                  epsilon: float = 0.001,
+                  nodata_dir: int | None = FLOWDIR_NO_DATA):
     """Full GarbrechtAlg (garbrecht.hpp:133-151): combine both gradient
     fields at ``epsilon`` and re-derive D8 directions.  Returns
-    (new_elevations, new_flowdirs)."""
+    (new_elevations, new_flowdirs).
+
+    ``nodata_dir`` mirrors the reference's ``flowdirs.noData()`` check in
+    GradientTowardsLower (garbrecht.hpp:44): cells carrying it are never
+    counted as draining neighbours."""
     from .d8 import d8_flow_directions
 
-    inc1 = gradient_towards_lower(elev, flowdirs)
+    inc1 = gradient_towards_lower(elev, flowdirs, nodata_dir=nodata_dir)
     inc2 = gradient_away_from_higher(elev, flowdirs)
     out = elev.astype(np.float64) + (
         (inc1 + inc2).astype(np.float32) * np.float32(epsilon)

@@ -369,7 +369,7 @@ def _walk_round(meta, mode, eps, max_depth, carve):
     W, H = meta.width, meta.height
     nodata = meta.nodata
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
         st = pdf[pdf["kind"] == 0]
         trs = pdf[pdf["kind"] == 1]

@@ -70,9 +70,17 @@ def streaming_dedup_exact(
     bounded by horizon x distinct keys, unlike plain dropDuplicates
     whose state grows forever).  The streaming twin of
     textops.dedup_exact for a continuously-crawled corpus; recrawls and
-    mirror fetches inside the horizon collapse to one row."""
+    mirror fetches inside the horizon collapse to one row.
+
+    The key hashes a JSON-encoded struct of the key columns rather than a
+    separator join: ``concat_ws`` silently drops NULLs (so (NULL) and ('')
+    collide) and a separator byte inside a value aliases across column
+    boundaries — JSON escaping and explicit ``null`` fields rule both
+    out."""
     hashed = pages.withColumn(
-        "content_h", F.md5(F.concat_ws("\x00", *key_cols))
+        "content_h",
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in key_cols]),
+                        {"ignoreNullFields": "false"})),
     )
     return (
         hashed.withWatermark(ts_col, watermark)

@@ -486,7 +486,7 @@ def assemble_pieces(
     W, H = meta.width, meta.height
     nodata = meta.nodata
 
-    def paste(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def paste(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
         tw_t = min(tw, W - tx * tw)
         th_t = min(th, H - ty * th)

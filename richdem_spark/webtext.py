@@ -277,7 +277,7 @@ def rasterize_pages(
         geotransform=(-180.0, 360.0 / grid, 0.0, 90.0, 0.0, -180.0 / grid),
     )
 
-    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
         tw = min(tile, grid - tx * tile)
         th = min(tile, grid - ty * tile)
