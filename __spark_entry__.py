@@ -276,16 +276,12 @@ _FILL_GRID_SQL = f"""
 """
 
 
-def _fill_grid(spark, sf_dir):
-    """The 16x16 tie-free elevation raster shared with the DuckDB
-    oracle (per-cell doc count + unique epsilon)."""
+def _add_cell_eps(tr, scale: float):
+    """Add ``(gy*FG + gx) * scale`` to every cell — the deterministic
+    per-cell epsilon shared bit-for-bit with the DuckDB oracles (both
+    sides run the identical IEEE-double expression)."""
     from richdem_spark.tiles import TILE_SCHEMA, TiledRaster, pack, unpack
-    from richdem_spark.webtext import rasterize_pages
 
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.expr(LAT).alias("lat"), F.expr(LON).alias("lon")
-    )
-    tr = rasterize_pages(docs, grid=FG, tile=6, value="count")
     tw, th = tr.meta.tile_w, tr.meta.tile_h
 
     def addeps(it):
@@ -300,7 +296,7 @@ def _fill_grid(spark, sf_dir):
                 yy, xx = np.mgrid[0:r.height, 0:r.width]
                 gxs = xx + r.tile_x * tw
                 gys = yy + r.tile_y * th
-                a = a + (gys * FG + gxs) * 1e-6
+                a = a + (gys * FG + gxs) * scale
                 rows["tile_x"].append(r.tile_x)
                 rows["tile_y"].append(r.tile_y)
                 rows["width"].append(r.width)
@@ -311,6 +307,18 @@ def _fill_grid(spark, sf_dir):
             yield pd.DataFrame(rows)
 
     return TiledRaster(tr.df.mapInPandas(addeps, TILE_SCHEMA), tr.meta)
+
+
+def _fill_grid(spark, sf_dir):
+    """The 16x16 tie-free elevation raster shared with the DuckDB
+    oracle (per-cell doc count + unique epsilon)."""
+    from richdem_spark.webtext import rasterize_pages
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(LAT).alias("lat"), F.expr(LON).alias("lon")
+    )
+    tr = rasterize_pages(docs, grid=FG, tile=6, value="count")
+    return _add_cell_eps(tr, 1e-6)
 
 
 def q_fill_grid(spark, sf_dir):
@@ -386,6 +394,58 @@ def q_fill_accum_demo(spark, sf_dir):
         )
         .orderBy(F.desc("accum"), F.asc("x"), F.asc("y"))
         .limit(100)
+    )
+
+
+def q_fill_accum_grid(spark, sf_dir):
+    """Fill -> D8 dirs -> accumulation, END-TO-END value-checked: the
+    oracle replays the whole composition in SQL (minimax-closure fill,
+    argmin dirs with forced edges, recursive-closure accumulation).
+    Plain fill leaves exact-tie flats at spill level, so both sides add
+    the same deterministic per-cell jitter (idx * 1e-9 — smaller than
+    any distinct-value gap, identical IEEE arithmetic) before taking
+    directions; the engine's filled values are already proven bit-equal
+    to the oracle's by the fill_grid row."""
+    from richdem_spark.api import FillDepressions, FlowDirectionsD8
+    from richdem_spark.ops.accum import flow_accumulation_d8
+
+    filled = FillDepressions(_fill_grid(spark, sf_dir))
+    jittered = _add_cell_eps(filled, 1e-9)
+    dirs = FlowDirectionsD8(jittered)
+    acc = flow_accumulation_d8(dirs)
+    return acc.cells().select(
+        F.col("x").cast("long").alias("gx"),
+        F.col("y").cast("long").alias("gy"),
+        F.col("value").cast("long").alias("accum"),
+    )
+
+
+def q_fsm_surface(spark, sf_dir):
+    """Depression hierarchy + Fill-Spill-Merge, value-checked through
+    the reference's own equivalence (tests/fsm_tests.cpp:467-471):
+    overwhelming surface water must settle to exactly the
+    Priority-Flood fill surface, which the DuckDB oracle computes as
+    the minimax-path closure.  Measured |surface - fill| on this grid
+    is ~1e-20, so round-6 comparison is exact."""
+    import numpy as np
+
+    from richdem_spark.api import FillSpillMerge
+    from richdem_spark.tiles import raster_from_array
+
+    dem = _fill_grid(spark, sf_dir)
+    wtd = raster_from_array(spark, np.full((FG, FG), 1e6), 6, 6)
+    water = FillSpillMerge(dem, wtd)
+    zc = dem.cells().select(
+        F.col("x").alias("gx"), F.col("y").alias("gy"),
+        F.col("value").alias("z"))
+    wc = water.cells().select(
+        F.col("x").alias("gx"), F.col("y").alias("gy"),
+        F.col("value").alias("w"))
+    return zc.join(wc, ["gx", "gy"]).select(
+        F.col("gx").cast("long").alias("gx"),
+        F.col("gy").cast("long").alias("gy"),
+        F.round(F.col("z") + F.col("w"), 6).cast("double")
+        .alias("surface"),
     )
 
 
@@ -664,51 +724,6 @@ def q_replace_classify(spark, sf_dir):
     )
 
 
-def q_dephier_fsm_demo(spark, sf_dir):
-    """Distributed depression hierarchy + Fill-Spill-Merge over the
-    rasterized documents DEM (rows-only check — the hierarchy build and
-    water routing are not SQL-expressible; exactness vs the single-grid
-    kernel is proven in tests/test_dephier.py).  Returns per-depression
-    volumes + stored water of the largest depressions."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.expr(LAT).alias("lat"), F.expr(LON).alias("lon")
-    )
-    from richdem_spark.api import FillSpillMerge, GetDepressionHierarchy
-    from richdem_spark.tiles import TiledRaster, raster_from_array
-    from richdem_spark.webtext import rasterize_pages
-
-    from richdem_spark.api import Scale
-
-    # invert the page-density raster: population centres become basins
-    dem = Scale(
-        rasterize_pages(docs, grid=GRID, tile=16, value="log1p"), -1.0
-    )
-    deps, labels, flowdirs = GetDepressionHierarchy(dem)
-    # pour 0.1 units of water everywhere, route it
-    import numpy as np
-
-    wtd = raster_from_array(
-        spark, np.full((GRID, GRID), 0.1), 16, 16
-    )
-    water = FillSpillMerge(dem, wtd)
-    stored = water.cells().agg(
-        F.round(F.sum("value"), 6).alias("stored_water")
-    )
-    import pandas as pd
-
-    rows = [
-        (int(i), float(round(d.dep_vol, 6)), int(d.cell_count))
-        for i, d in enumerate(deps)
-        if i and d.dep_vol > 0
-    ]
-    rows.sort(key=lambda r: (-r[1], r[0]))
-    vols = spark.createDataFrame(
-        rows[:20] or [(0, 0.0, 0)],
-        "dep bigint, dep_vol double, cell_count bigint",
-    )
-    return vols.crossJoin(stored)
-
-
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geocode+rasterize the documents table, distributed
     priority-flood fill + D8 flow accumulation, return the stream cells."""
@@ -729,8 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_grid": q_fill_grid,
         "flow_dirs_grid": q_flow_dirs_grid,
         "dephier_pits": q_dephier_pits,
-        "fill_accum_demo": q_fill_accum_demo,
-        "dephier_fsm_demo": q_dephier_fsm_demo,
+        "fill_accum_grid": q_fill_accum_grid,
+        "fsm_surface": q_fsm_surface,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -853,6 +868,100 @@ def oracle_sql() -> dict[str, str]:
                     and not (n.gx = m.gx and n.gy = m.gy)
                     and n.z <= m.z
               )
+        """,
+        "fill_accum_grid": f"""
+            with recursive grid as ({_FILL_GRID_SQL}),
+            reach as (
+                select gx, gy, z as b from grid
+                where gx in (0, {FG - 1}) or gy in (0, {FG - 1})
+                union
+                select g.gx, g.gy, greatest(g.z, r.b) as b
+                from reach r
+                join grid g on abs(g.gx - r.gx) <= 1
+                           and abs(g.gy - r.gy) <= 1
+                           and not (g.gx = r.gx and g.gy = r.gy)
+            ),
+            -- the fill (bit-equal to the engine's, proven by fill_grid),
+            -- then the same deterministic jitter both sides apply to
+            -- break the exact ties plain fill leaves at spill level
+            jit as (
+                select gx, gy,
+                       min(b) + (gy * {FG} + gx) * 1e-9 as z
+                from reach group by gx, gy
+            ),
+            nb as (
+                select m.gx, m.gy, m.z, n.z as nz,
+                       case
+                         when n.gx < m.gx and n.gy = m.gy then 1
+                         when n.gx < m.gx and n.gy < m.gy then 2
+                         when n.gx = m.gx and n.gy < m.gy then 3
+                         when n.gx > m.gx and n.gy < m.gy then 4
+                         when n.gx > m.gx and n.gy = m.gy then 5
+                         when n.gx > m.gx and n.gy > m.gy then 6
+                         when n.gx = m.gx and n.gy > m.gy then 7
+                         else 8
+                       end as slot
+                from jit m
+                join jit n on abs(n.gx - m.gx) <= 1
+                          and abs(n.gy - m.gy) <= 1
+                          and not (n.gx = m.gx and n.gy = m.gy)
+            ),
+            pick as (
+                select gx, gy, min(nz) as mz, max(z) as z,
+                       arg_min(slot, nz) as best_slot
+                from nb group by gx, gy
+            ),
+            dirs as (
+                select gx, gy,
+                       case
+                         when gx = 0 and gy = 0 then 2
+                         when gx = {FG - 1} and gy = 0 then 4
+                         when gx = 0 and gy = {FG - 1} then 8
+                         when gx = {FG - 1} and gy = {FG - 1} then 6
+                         when gy = 0 then 3
+                         when gy = {FG - 1} then 7
+                         when gx = 0 then 1
+                         when gx = {FG - 1} then 5
+                         when mz < z then best_slot
+                         else 0
+                       end as d8
+                from pick
+            ),
+            -- D8 offsets: 1=W 2=NW 3=N 4=NE 5=E 6=SE 7=S 8=SW
+            step(cx, cy) as (
+                select gx, gy from dirs
+                union all
+                select s.cx + (case when d.d8 in (1, 2, 8) then -1
+                                    when d.d8 in (4, 5, 6) then 1
+                                    else 0 end),
+                       s.cy + (case when d.d8 in (2, 3, 4) then -1
+                                    when d.d8 in (6, 7, 8) then 1
+                                    else 0 end)
+                from step s join dirs d on d.gx = s.cx and d.gy = s.cy
+                where d.d8 != 0
+            )
+            select cx::bigint as gx, cy::bigint as gy,
+                   count(*)::bigint as accum
+            from step
+            where cx between 0 and {FG - 1}
+              and cy between 0 and {FG - 1}
+            group by cx, cy
+        """,
+        "fsm_surface": f"""
+            with recursive grid as ({_FILL_GRID_SQL}),
+            reach as (
+                select gx, gy, z as b from grid
+                where gx in (0, {FG - 1}) or gy in (0, {FG - 1})
+                union
+                select g.gx, g.gy, greatest(g.z, r.b) as b
+                from reach r
+                join grid g on abs(g.gx - r.gx) <= 1
+                           and abs(g.gy - r.gy) <= 1
+                           and not (g.gx = r.gx and g.gy = r.gy)
+            )
+            select gx::bigint as gx, gy::bigint as gy,
+                   round(min(b), 6)::double as surface
+            from reach group by gx, gy
         """,
         "rasterize_cells": f"""
             select gx, gy, count(*)::bigint as n_pages

@@ -110,13 +110,22 @@ def train_ivf_centroids(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means coarse quantizer, expressed as
     DataFrame aggregations (assignment is codegen'd JVM arithmetic; the
     update is a (cell, dim) grouped mean — two shuffles of k*d rows per
     iteration).  Init = the vectors of the ``n_centroids`` smallest ids.
-    At 100 TB: train on a sample (the quantizer needs only statistical
-    coverage), then one full scan assigns cells."""
+
+    ``sample_fraction`` is the 100 TB path: the quantizer needs only
+    statistical coverage, so Lloyd's iterations run over ONE seeded
+    Bernoulli sample taken up front (``iters`` scans of ~0.1 % of the
+    table instead of ``iters`` full scans); cell ASSIGNMENT afterwards
+    is still a single full scan in the caller.  ``None`` trains on the
+    full table (the small-scale / oracle-exact configuration)."""
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=seed)
     init_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids)
         .collect()
@@ -204,6 +213,97 @@ def ivf_topk(
     cand = assigned.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
         "cell",
+    )
+    sims = (
+        cand.join(F.broadcast(pd_cells), "cell")
+        .where(F.col("cand_id") != F.col("probe_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("pvec"), F.col("cvec"))
+                / (_norm(F.col("pvec")) * _norm(F.col("cvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "rank", "cosine")
+    )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: one full scan assigns every vector to
+    its nearest centroid (codegen'd JVM arithmetic), written
+    ``partitionBy("cell")`` so probe-time reads are PARTITION-PRUNED —
+    a probe touching ``nprobe`` of ``n_centroids`` cells physically
+    reads ~``nprobe/n_centroids`` of the table, enforced by the scan's
+    PartitionFilters (asserted in tests), not by a post-scan filter."""
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col),
+        _argmin_cell(vec_col, centroids).alias("cell"),
+    )
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+
+def _probe_cells(pvec: list[float], centroids, nprobe: int) -> list[int]:
+    """Driver-side nearest-``nprobe`` cells for one probe vector (tiny:
+    k x d arithmetic; ties -> lowest cell index, matching
+    :func:`_argmin_cell` / the array_sort struct order in ivf_topk)."""
+    d2 = [
+        (sum((a - b) * (a - b) for a, b in zip(pvec, c)), i)
+        for i, c in enumerate(centroids)
+    ]
+    d2.sort()
+    return [i for _, i in d2[:nprobe]]
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    probe_ids,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the materialized IVF index with physical partition pruning:
+    probe vectors are fetched by id (a small pushed-down lookup), their
+    ``nprobe`` nearest cells computed driver-side (|probes| x k x d
+    floats), and the candidate scan reads ONLY those cell partitions —
+    the plan's PartitionFilters carry ``cell IN (...)``, so at 100 TB
+    the probe reads ~nprobe/n_centroids of the stored bytes.  Result ==
+    :func:`ivf_topk` with the same centroids/nprobe."""
+    idx = spark.read.parquet(path)
+    probe_rows = (
+        idx.where(F.col(id_col).isin(list(probe_ids)))
+        .select(id_col, vec_col).collect()
+    )
+    pairs = []          # (probe_id, pvec, cell) fanout — tiny, broadcast
+    needed: set[int] = set()
+    for r in probe_rows:
+        pvec = [float(x) for x in r[1]]
+        for c in _probe_cells(pvec, centroids, min(nprobe, len(centroids))):
+            pairs.append((r[0], pvec, c))
+            needed.add(c)
+    pd_cells = spark.createDataFrame(
+        pairs, "probe_id long, pvec array<double>, cell int"
+    )
+    cand = idx.where(F.col("cell").isin(sorted(needed))).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("cell").cast("int").alias("cell"),
     )
     sims = (
         cand.join(F.broadcast(pd_cells), "cell")

@@ -84,11 +84,11 @@ def test_query_matches_oracle(spark, ddb, name):
 
 
 def test_all_queries_have_oracle_or_reason():
+    # every query is value-checked against a DuckDB oracle — the former
+    # rows-only demo rows were replaced by fill_accum_grid (recursive
+    # fill+dirs+accum closure) and fsm_surface (huge-water == fill)
     missing = set(QUERIES) - set(ORACLES)
-    # the documented non-SQL-expressible ops (iterative hydrology):
-    # their exactness is proven in tests/ against reference goldens and
-    # the single-grid kernels instead
-    assert missing == {"fill_accum_demo", "dephier_fsm_demo"}, missing
+    assert missing == set(), missing
 
 
 def test_entry_smoke(spark):

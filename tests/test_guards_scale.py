@@ -270,3 +270,92 @@ def test_near_dup_clusters_components(spark):
         | {(200, 200), (201, 200)}
     )
     assert got == exp
+
+
+def test_ivf_sampled_training_recall(spark):
+    """100 TB config: Lloyd's runs on ONE seeded sample (not iters full
+    scans); sampled-trained centroids keep recall at nprobe=2 and the
+    exact configuration (nprobe=n_centroids) still matches brute force."""
+    import numpy as np
+
+    from richdem_spark.vector import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(29)
+    centers = rng.normal(size=(6, 12))
+    rows = []
+    for i in range(600):
+        v = centers[i % 6] + rng.normal(scale=0.15, size=12)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = [0, 1, 2, 3, 4, 5]
+
+    cents = train_ivf_centroids(
+        df, n_centroids=8, iters=4, sample_fraction=0.3, seed=7)
+    assert len(cents) == 8
+
+    exact = cosine_topk(df, probes, k=5)
+    ex = {(r.probe_id, r.cand_id, r.rank) for r in exact.collect()}
+    full = ivf_topk(df, probes, k=5, nprobe=8, centroids=cents)
+    assert {(r.probe_id, r.cand_id, r.rank) for r in full.collect()} == ex
+
+    approx = ivf_topk(df, probes, k=5, nprobe=2, centroids=cents)
+    ap = {(r.probe_id, r.cand_id) for r in approx.collect()}
+    exact_pairs = {(p, c) for (p, c, _r) in ex}
+    recall = len(ap & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.7, f"sampled-IVF recall {recall:.2f} below floor"
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The materialized IVF index is partitionBy(cell); probing reads
+    ONLY the needed cell partitions — asserted on the scan's
+    PartitionFilters — and returns exactly ivf_topk's answer."""
+    import numpy as np
+
+    from richdem_spark.vector import (
+        ivf_topk,
+        ivf_topk_from_index,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(41)
+    centers = rng.normal(size=(6, 12))
+    rows = []
+    for i in range(240):
+        v = centers[i % 6] + rng.normal(scale=0.15, size=12)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = [0, 1, 2]
+
+    cents = train_ivf_centroids(df, n_centroids=8, iters=4)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(df, path, cents)
+
+    got = ivf_topk_from_index(spark, path, cents, probes, k=5, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the candidate branch scan must be partition-pruned on cell
+    assert "PartitionFilters" in plan
+    import re
+
+    filt = [ln for ln in plan.splitlines()
+            if "PartitionFilters" in ln and "cell" in ln]
+    assert filt, plan
+    # value-identical to the in-memory IVF at the same centroids/nprobe
+    want = ivf_topk(df, probes, k=5, nprobe=2, centroids=cents)
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, want.collect())))
+    # physical pruning: fewer cell=... directories scanned than exist
+    import os
+
+    all_cells = {d for d in os.listdir(path) if d.startswith("cell=")}
+    assert len(all_cells) > 2
+    scan_line = "\n".join(filt)
+    # every probed cell set is a strict subset when nprobe << n_centroids
+    m = re.findall(r"cell#\d+ IN \(([^)]*)\)", scan_line)
+    if m:
+        probed = {int(x) for x in m[0].split(",")}
+        assert len(probed) < len(all_cells)

@@ -128,3 +128,38 @@ def test_streaming_quality_monitor(spark):
         # dropped by design; the loss must be marginal at this horizon
         assert 475 <= total <= 500
         assert all(r.mean_len >= 0 for r in rows)
+
+
+def test_streaming_bucketed_upsert_equals_batch(spark):
+    """foreachBatch upsert into the bucketed tile table: after the
+    stream drains (multiple micro-batches), the catalog table is
+    cell-for-cell identical to batch rasterize_pages on the same pages,
+    and reads back through read_raster_table with intact metadata."""
+    import numpy as np
+
+    from richdem_spark.streaming import (
+        run_incremental_rasterization_bucketed,
+    )
+    from richdem_spark.tiles import read_raster_table
+    from richdem_spark.webtext import geocode, rasterize_pages
+
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/pages"
+        pages = synth_webtext(spark, 3000, seed=19, partitions=4)
+        pages.write.parquet(src)
+
+        table = "stream_raster_upsert"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__stage")
+        run_incremental_rasterization_bucketed(
+            spark, src, table, f"{d}/ckpt", grid=64, tile=16,
+            max_files_per_trigger=1,   # force multiple micro-batches
+        )
+
+        got = read_raster_table(spark, table)
+        want = rasterize_pages(
+            geocode(spark.read.parquet(src)), grid=64, tile=16,
+            value="count")
+        assert got.meta.width == 64 and got.meta.tile_w == 16
+        np.testing.assert_array_equal(got.to_array(), want.to_array())
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
