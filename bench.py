@@ -89,6 +89,50 @@ def run_suite(spark) -> dict[str, float]:
     return timings
 
 
+def telemetry_suite(spark) -> dict:
+    """Convergence telemetry for the iterative operators (VERDICT r4 #7):
+    one pass, NOT repeated — round counts are deterministic for a fixed
+    input, so a regression in rounds/inflight between engine rounds is
+    visible without paying full-grid iterative runs per rep.  Runs at a
+    reduced 256^2 grid: the telemetry is about round structure, not
+    throughput (the headline suite owns throughput)."""
+    from richdem_spark.api import (
+        BreachDepressions,
+        FillDepressions,
+        FlowAccumulation,
+    )
+    from richdem_spark.webtext import geocode, rasterize_pages, synth_webtext
+
+    g, t = 256, 64
+    pages = synth_webtext(spark, N_PAGES)
+    dem = rasterize_pages(geocode(pages), grid=g, tile=t).persist()
+    dem.df.count()
+    out: dict = {"grid": g, "tile": t}
+
+    t0 = time.perf_counter()
+    feps = FillDepressions(dem, epsilon=True).persist()
+    feps.df.count()
+    out["eps_fill_sec"] = round(time.perf_counter() - t0, 3)
+
+    m: dict = {}
+    t0 = time.perf_counter()
+    FlowAccumulation(feps, "Quinn", metrics=m).df.count()
+    out["mfd_quinn_sec"] = round(time.perf_counter() - t0, 3)
+    out["mfd_rounds"] = m.get("rounds")
+    out["mfd_inflight_per_round"] = m.get("inflight_per_round")
+
+    m2: dict = {}
+    t0 = time.perf_counter()
+    BreachDepressions(dem, metrics=m2).df.count()
+    out["breach_sec"] = round(time.perf_counter() - t0, 3)
+    out["breach_carve_rounds"] = m2.get("carve_rounds")
+    out["breach_live_per_round"] = m2.get("carve_live_per_round")
+
+    feps.unpersist()
+    dem.unpersist()
+    return out
+
+
 def main() -> None:
     from richdem_spark.session import get_spark
 
@@ -99,6 +143,10 @@ def main() -> None:
     reps: list[dict[str, float]] = []
     for _ in range(max(1, REPS)):
         reps.append(run_suite(spark))
+    # once per invocation (deterministic rounds); A/B sweeps may disable
+    telemetry = (telemetry_suite(spark)
+                 if os.environ.get("SPARK_GRAFT_TELEMETRY", "1") == "1"
+                 else None)
 
     # per-query minimum across reps = noise-floor estimate
     timings = {
@@ -130,6 +178,7 @@ def main() -> None:
         "cells": cells,
         "pages": N_PAGES,
         "hydrology_cells_per_sec": round(cells / max(hydro, 1e-9)),
+        "telemetry": telemetry,
     }))
     spark.stop()
 
