@@ -31,10 +31,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "200000"))
 GRID = int(os.environ.get("SPARK_GRAFT_GRID", "1024"))
-# tile sizing: want ntiles >= ~2x cores so every executor thread gets
-# multiple waves of work (1024^2 grid / 128^2 tiles = 64 tasks on 32
-# cores; 256^2 tiles left half the cores idle — measured ~15% slower)
-TILE = int(os.environ.get("SPARK_GRAFT_TILE", "128"))
+# PROTOCOL FROZEN (round 5): tile=256. The round-5 pinned A/B
+# ({r3 5736f9c, r5} x {tile 128, 256} x 2 interleaved cycles x 3 reps,
+# pooled per-query minima; BASELINE.md "Bench A/B") measured t256
+# FASTER than t128 on current code (20.91 s vs 24.08 s, -13%) — the
+# round-4 "t128 ~15% faster" single-shot claim did not replicate.
+# Do not change this default without producing the same A/B artifact.
+TILE = int(os.environ.get("SPARK_GRAFT_TILE", "256"))
 REPS = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
 
 

@@ -9,14 +9,21 @@ scaling efficiency.
 
 Usage: python scale_bench.py [N] [4N]   (defaults 8 and 32)
 Prints one JSON line; also usable as a child: `--child <cpus> <outfile>`.
-"""
+
+`--decompose [N] [kN]` (defaults 2 and 8) runs the weak-scaling pair
+with Spark event-log instrumentation and reports, PER PHASE, wall time
+vs summed executor task-seconds — so the serial/stage-fixed remainder
+(wall x cores - task-seconds = idle core-seconds) is a measured number,
+not an attribution argument (VERDICT r4 #2)."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -81,6 +88,165 @@ def run_job(cpus: int, out_npy: str, grid: int = GRID,
     return res
 
 
+def run_job_decomposed(cpus: int, grid: int,
+                       pages: int = N_PAGES) -> dict:
+    """One hydrology run with the Spark event log on; returns per-phase
+    {wall_s, task_s, busy_frac, idle_core_s}.  ``task_s`` sums executor
+    run time over every task finishing inside the phase window;
+    ``idle_core_s = wall_s*cpus - task_s`` is the measured
+    scheduling/driver floor (driver-side solves, stage submit gaps,
+    Python-worker startup)."""
+    sys.path.insert(0, REPO)
+    from pyspark.sql import SparkSession
+
+    from richdem_spark.api import FillDepressions
+    from richdem_spark.webtext import geocode, rasterize_pages, synth_webtext
+
+    evdir = tempfile.mkdtemp(prefix="sparkev_")
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+              "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"decompose_{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "64"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.dir", evdir)
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bounds = []          # (phase, start_ms, end_ms) in driver epoch ms
+
+    def phase(name, fn):
+        t0 = time.time() * 1000
+        out = fn()
+        bounds.append((name, t0, time.time() * 1000))
+        return out
+
+    pg = synth_webtext(spark, pages).persist()
+    pg.count()                       # generation outside the timed window
+
+    dem_box = {}
+
+    def do_raster():
+        dem = rasterize_pages(geocode(pg), grid=grid, tile=TILE).persist()
+        dem.df.count()
+        dem_box["dem"] = dem
+        return dem
+
+    phase("rasterize", do_raster)
+    pg.unpersist()
+    filled_box = {}
+
+    def do_fill():
+        filled = FillDepressions(dem_box["dem"]).persist()
+        filled.df.count()
+        filled_box["f"] = filled
+
+    phase("fill", do_fill)
+    from richdem_spark.ops.accum import flow_accumulation_d8_from_elev
+    from richdem_spark.ops.focal import aggregate_tiles
+
+    def do_accum():
+        acc = flow_accumulation_d8_from_elev(filled_box["f"])
+        return aggregate_tiles(
+            acc, lambda a, nd: float(a.sum()), lambda x, y: x + y, 0.0)
+
+    checksum = phase("dirs_accum", do_accum)
+    spark.stop()
+
+    # parse the event log: executor run-time per task -> phase buckets
+    task_s = {name: 0.0 for name, _, _ in bounds}
+    # Spark 4 writes a rolling v2 layout: <dir>/eventlog_v2_<app>/events_*
+    files = [p for p in glob.glob(os.path.join(evdir, "**"), recursive=True)
+             if os.path.isfile(p) and "appstatus" not in os.path.basename(p)]
+    for path in files:
+        with open(path) as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                fin = ev.get("Task Info", {}).get("Finish Time", 0)
+                run_ms = (ev.get("Task Metrics") or {}).get(
+                    "Executor Run Time", 0)
+                for name, a, b in bounds:
+                    if a <= fin <= b:
+                        task_s[name] += run_ms / 1000.0
+                        break
+    phases = {}
+    for name, a, b in bounds:
+        wall = (b - a) / 1000.0
+        ts = task_s[name]
+        phases[name] = {
+            "wall_s": round(wall, 3),
+            "task_s": round(ts, 3),
+            "busy_frac": round(ts / (wall * cpus), 3) if wall else None,
+            "idle_core_s": round(wall * cpus - ts, 3),
+        }
+    total_wall = sum(p["wall_s"] for p in phases.values())
+    return {
+        "cpus": cpus, "grid": grid, "pages": pages, "tile": TILE,
+        "phases": phases,
+        "total_s": round(total_wall, 3),
+        "cells": grid * grid,
+        "cells_per_sec": round(grid * grid / total_wall),
+        "checksum": checksum,
+    }
+
+
+def _decompose_main(n: int, kn: int) -> None:
+    """Weak pair {base grid at N} -> {2x-edge grid at kN} (+ the strong
+    middle leg), each decomposed, each the min-wall of REPS runs."""
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    legs = [
+        ("base_N", n, GRID, N_PAGES),
+        ("strong_kN", kn, GRID, N_PAGES),
+        ("weak_kN", kn, GRID * 2, N_PAGES * 4),
+    ]
+    results = {}
+    for label, cpus, grid, pages in legs:
+        best = None
+        for _ in range(reps):
+            p = subprocess.run(
+                [sys.executable, __file__, "--decompose-child",
+                 str(cpus), str(grid), str(pages)],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            line = [ln for ln in p.stdout.splitlines()
+                    if ln.startswith("CHILD_RESULT ")]
+            if not line:
+                sys.stderr.write(p.stdout + p.stderr)
+                raise SystemExit(f"decompose child {label} failed")
+            r = json.loads(line[0][len("CHILD_RESULT "):])
+            if best is None or r["total_s"] < best["total_s"]:
+                best = r
+        results[label] = best
+    weak_eff = results["base_N"]["total_s"] / results["weak_kN"]["total_s"]
+    # checksums must agree between the two legs on the SAME input
+    same_input_identical = (
+        results["base_N"]["checksum"] == results["strong_kN"]["checksum"])
+    print(json.dumps({
+        "metric": "weak-scaling decomposition (rasterize+fill+accum), "
+                  f"local[{n}] base -> local[{kn}] 4x cells, tile {TILE}, "
+                  f"min of {reps} reps per leg",
+        **results,
+        "weak_scaling_efficiency": round(weak_eff, 3),
+        "strong_identical_checksum": same_input_identical,
+    }))
+
+
 def _child(cpus: int, grid: int, pages: int, out_npy: str):
     p = subprocess.run(
         [sys.executable, __file__, "--child", str(cpus), str(grid),
@@ -100,6 +266,16 @@ def main() -> None:
         res = run_job(int(sys.argv[2]), sys.argv[5],
                       grid=int(sys.argv[3]), pages=int(sys.argv[4]))
         print("CHILD_RESULT " + json.dumps(res))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--decompose-child":
+        res = run_job_decomposed(int(sys.argv[2]), int(sys.argv[3]),
+                                 pages=int(sys.argv[4]))
+        print("CHILD_RESULT " + json.dumps(res))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--decompose":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+        kn = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        _decompose_main(n, kn)
         return
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
