@@ -2,7 +2,8 @@
 ``saveGDAL`` I/O gap (``common/Array2D.hpp:418-431, 1112-1190``) closed
 with a pure-stdlib TIFF 6.0 parser.
 
-Scope: classic (non-Big) TIFF, single-sample rasters (DEMs), 8/16/32/64
+Scope: classic TIFF and BigTIFF (read and write; 8-byte offsets, so
+mosaics past 4 GB work), single-sample rasters (DEMs), 8/16/32/64
 bit unsigned/signed/float samples, strip or tile organization,
 uncompressed, DEFLATE (zlib), LZW, or PackBits compression,
 horizontal-predictor support, GeoTIFF ModelPixelScale/ModelTiepoint ->
@@ -48,9 +49,9 @@ from pyspark.sql.types import (
 from .tiles import PIECE_SCHEMA, RasterMeta, TiledRaster, assemble_pieces
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
-               10: 8, 11: 4, 12: 8}
+               10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
-             12: "d"}
+             12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 # (SampleFormat, BitsPerSample) -> numpy dtype
 _DTYPES = {
@@ -198,24 +199,33 @@ def packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _read_ifd(f, bo: str) -> dict[int, list]:
-    """Parse one IFD into {tag: values}."""
-    (n,) = struct.unpack(bo + "H", f.read(2))
+def _read_ifd(f, bo: str, big: bool = False) -> dict[int, list]:
+    """Parse one IFD into {tag: values}.  ``big`` selects the BigTIFF
+    layout (TIFF spec supplement 2): 8-byte entry counts, 20-byte
+    entries, 8-byte inline values/offsets, LONG8/SLONG8/IFD8 types."""
+    if big:
+        (n,) = struct.unpack(bo + "Q", f.read(8))
+    else:
+        (n,) = struct.unpack(bo + "H", f.read(2))
+    inline = 8 if big else 4
     tags: dict[int, list] = {}
     entries = []
     for _ in range(n):
-        tag, typ, cnt = struct.unpack(bo + "HHI", f.read(8))
-        raw = f.read(4)
+        if big:
+            tag, typ, cnt = struct.unpack(bo + "HHQ", f.read(12))
+        else:
+            tag, typ, cnt = struct.unpack(bo + "HHI", f.read(8))
+        raw = f.read(inline)
         entries.append((tag, typ, cnt, raw))
     for tag, typ, cnt, raw in entries:
         size = _TYPE_SIZES.get(typ)
         if size is None:
             continue
         total = size * cnt
-        if total <= 4:
+        if total <= inline:
             data = raw[:total]
         else:
-            (off,) = struct.unpack(bo + "I", raw)
+            (off,) = struct.unpack(bo + ("Q" if big else "I"), raw)
             pos = f.tell()
             f.seek(off)
             data = f.read(total)
@@ -252,13 +262,19 @@ def parse_geotiff(path: str) -> dict:
         else:
             raise ValueError("not a TIFF file")
         (magic,) = struct.unpack(bo + "H", hdr[2:4])
-        if magic == 43:
-            raise NotImplementedError("BigTIFF not supported")
-        if magic != 42:
+        big = magic == 43
+        if big:
+            offsize, pad = struct.unpack(bo + "HH", hdr[4:8])
+            if offsize != 8 or pad != 0:
+                raise NotImplementedError(
+                    f"BigTIFF offset size {offsize} unsupported")
+            (ifd_off,) = struct.unpack(bo + "Q", f.read(8))
+        elif magic == 42:
+            (ifd_off,) = struct.unpack(bo + "I", hdr[4:8])
+        else:
             raise ValueError("not a TIFF file")
-        (ifd_off,) = struct.unpack(bo + "I", hdr[4:8])
         f.seek(ifd_off)
-        t = _read_ifd(f, bo)
+        t = _read_ifd(f, bo, big=big)
 
     def one(tag, default=None):
         v = t.get(tag)
@@ -435,12 +451,15 @@ def read_geotiff(
 def write_geotiff(
     tr: TiledRaster, path: str, compress: bool | str = True,
     rows_per_strip: int = 256, tiled: int | None = None,
+    big: bool = False,
 ) -> None:
     """Driver-side GeoTIFF writer with ModelPixelScale/ModelTiepoint and
     GDAL_NODATA — round-trip / small export utility; the scale sink is
     the bucketed tile table.  ``tiled=N`` writes a tiled layout (N a
     multiple of 16, edge tiles padded per spec) instead of strips.
-    ``compress``: True/'deflate', 'lzw', 'packbits', or False."""
+    ``compress``: True/'deflate', 'lzw', 'packbits', or False.
+    ``big=True`` writes BigTIFF (magic 43, 8-byte offsets, LONG8
+    strip/tile offsets) — required beyond 4 GB."""
     arr = tr.to_array()
     m = tr.meta
     H, W = arr.shape
@@ -520,17 +539,24 @@ def write_geotiff(
     add(33922, 12, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
     if m.nodata is not None:
         add(42113, 2, repr(float(m.nodata)))
-    # strip/tile offsets resolved after layout
-    add(off_tag, 4, [0] * n_str)
+    # strip/tile offsets resolved after layout; BigTIFF stores them as
+    # LONG8 so byte positions past 4 GB are representable
+    off_typ, off_fmt = (16, "Q") if big else (4, "I")
+    add(off_tag, off_typ, [0] * n_str)
 
     entries.sort(key=lambda e: e[0])
     n = len(entries)
-    ifd_off = 8
-    data_off = ifd_off + 2 + n * 12 + 4     # after IFD
+    inline = 8 if big else 4
+    if big:
+        ifd_off = 16
+        data_off = ifd_off + 8 + n * 20 + 8     # Q count, 20 B entries, Q next
+    else:
+        ifd_off = 8
+        data_off = ifd_off + 2 + n * 12 + 4     # after IFD
     # lay out out-of-line entry payloads, then strips
     payload_pos = {}
     for i, (tag, typ, cnt, data) in enumerate(entries):
-        if len(data) > 4:
+        if len(data) > inline:
             payload_pos[i] = data_off + len(extra)
             extra.extend(data)
             if len(extra) % 2:
@@ -545,23 +571,30 @@ def write_geotiff(
     # rewrite the offsets entry now that positions are known
     for i, (tag, typ, cnt, data) in enumerate(entries):
         if tag == off_tag:
-            data = struct.pack("<" + "I" * n_str, *offs)
+            data = struct.pack("<" + off_fmt * n_str, *offs)
             entries[i] = (tag, typ, cnt, data)
-            if len(data) > 4:
+            if len(data) > inline:
                 assert i in payload_pos
                 extra[payload_pos[i] - data_off:
                       payload_pos[i] - data_off + len(data)] = data
 
     out = bytearray()
-    out += b"II" + struct.pack("<HI", 42, ifd_off)
-    out += struct.pack("<H", n)
+    if big:
+        out += b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+        out += struct.pack("<Q", n)
+    else:
+        out += b"II" + struct.pack("<HI", 42, ifd_off)
+        out += struct.pack("<H", n)
     for i, (tag, typ, cnt, data) in enumerate(entries):
-        out += struct.pack("<HHI", tag, typ, cnt)
-        if len(data) > 4:
-            out += struct.pack("<I", payload_pos[i])
+        if big:
+            out += struct.pack("<HHQ", tag, typ, cnt)
+            out += (struct.pack("<Q", payload_pos[i])
+                    if len(data) > inline else data.ljust(8, b"\x00"))
         else:
-            out += data.ljust(4, b"\x00")
-    out += struct.pack("<I", 0)             # no next IFD
+            out += struct.pack("<HHI", tag, typ, cnt)
+            out += (struct.pack("<I", payload_pos[i])
+                    if len(data) > inline else data.ljust(4, b"\x00"))
+    out += struct.pack("<Q" if big else "<I", 0)  # no next IFD
     out += extra
     for s in strips:
         out += s

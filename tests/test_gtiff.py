@@ -177,3 +177,46 @@ def test_write_rejects_rotated_and_southup(spark, tmp_path):
         geotransform=(0.0, 1.0, 0.0, 0.0, 0.0, 2.0))
     with pytest.raises(NotImplementedError):
         write_geotiff(south, p)
+
+
+def test_bigtiff_roundtrip(spark, tmp_path):
+    """BigTIFF (magic 43, 8-byte offsets, LONG8 strip offsets) must
+    round-trip byte-exact through the same distributed read path."""
+    rng = np.random.default_rng(21)
+    arr = (rng.random((41, 33)) * 200 - 50).astype("float32")
+    gt = (100.0, 2.0, 0.0, 900.0, 0.0, -2.0)
+    tr = raster_from_array(spark, arr, tile_w=16, tile_h=16,
+                           nodata=-9999.0, geotransform=gt)
+    p = str(tmp_path / "big.tif")
+    write_geotiff(tr, p, compress="lzw", rows_per_strip=7, big=True)
+    with open(p, "rb") as f:
+        hdr = f.read(4)
+    assert hdr[:2] == b"II" and hdr[2] == 43
+    info = parse_geotiff(p)
+    assert (info["width"], info["height"]) == (33, 41)
+    assert info["nodata"] == -9999.0
+    assert info["geotransform"][:2] == (100.0, 2.0)
+    back = read_geotiff(spark, p, tile_w=8, tile_h=8)
+    np.testing.assert_array_equal(back.to_array(), arr)
+
+
+def test_bigtiff_tiled_uncompressed_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(22)
+    arr = (rng.random((30, 47)) * 1000).astype("int32")
+    tr = raster_from_array(spark, arr, tile_w=16, tile_h=16)
+    p = str(tmp_path / "bigtiled.tif")
+    write_geotiff(tr, p, compress=False, tiled=16, big=True)
+    info = parse_geotiff(p)
+    assert len(info["segments"]) >= 6
+    back = read_geotiff(spark, p, tile_w=13, tile_h=9)
+    np.testing.assert_array_equal(back.to_array(), arr)
+
+
+def test_bigtiff_bad_offset_size_raises(tmp_path):
+    import struct
+
+    p = str(tmp_path / "bad.tif")
+    with open(p, "wb") as f:
+        f.write(b"II" + struct.pack("<HHHQ", 43, 4, 0, 16))
+    with pytest.raises(NotImplementedError):
+        parse_geotiff(p)
