@@ -239,7 +239,7 @@ def _mfd_accumulation_single_tile(tr: TiledRaster, method: str, **params):
 
     return apply_focal(
         tr, kern, out_dtype="float64", out_nodata=-1.0,
-        kernel_kwargs={"nodata": m.nodata},
+        kernel_kwargs={"nodata": tr.meta.nodata},
         op_name=f"FA_{method}",
     )
 
@@ -251,6 +251,22 @@ def FlowAccumulationFromDirs(
     (methods/d8_methods.hpp:47-139); optional per-cell weights raster
     (pyRichDEM weights argument, __init__.py:554-566)."""
     return flow_accumulation_d8(dirs, weights=weights)
+
+
+def StrahlerOrder(
+    dirs: TiledRaster, metrics: dict | None = None
+) -> TiledRaster:
+    """Strahler stream order from a D8 flowdir raster (int32, NoData ->
+    -1).  The reference ships only the operator surface — the
+    implementation is commented out (methods/strahler.hpp:5-46) — so
+    this is a clean re-derivation of Strahler (1957): sources are
+    order 1; a confluence where >=2 inflows share the maximum order m
+    becomes m+1, else m.  Distributed via monotone seam rounds
+    (ops/strahler.py); ``metrics`` receives rounds + changed-tile
+    telemetry."""
+    from .ops.strahler import strahler_order_tiled
+
+    return strahler_order_tiled(dirs, metrics=metrics)
 
 
 # ---------------------------------------------------------------------------
