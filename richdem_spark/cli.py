@@ -114,6 +114,24 @@ def main(argv: list[str] | None = None) -> int:
 
     io_cmd("strahler", "Strahler stream order")
     io_cmd("pit-mask", "depression-cell mask (rd_depressions_mask)")
+    io_cmd("flood-flowdirs", "epsilon fill then D8 dirs "
+                             "(rd_flood_for_flowdirs)")
+    io_cmd("watershed", "Priority-Flood watershed labels")
+    c = io_cmd("dephier", "depression hierarchy labels; prints the "
+                          "hierarchy as JSON (rd_depression_hierarchy)")
+    c.add_argument("--ocean", default=None,
+                   help="optional ocean-labels raster")
+    c = io_cmd("fsm", "Fill-Spill-Merge standing water "
+                      "(rd_fill_spill_merge)")
+    c.add_argument("--wtd", required=True,
+                   help="surface-water-depth raster")
+    c = io_cmd("no-data", "get/set the NoData value (rd_no_data)",
+               out=False)
+    c.add_argument("--set", type=float, default=None, dest="set_nd")
+    c.add_argument("--output", default=None,
+                   help="required with --set")
+    io_cmd("history", "print PROCESSING_HISTORY "
+                      "(rd_processing_history)", out=False)
 
     c = io_cmd("expand", "grow canvas (rd_expand_dimensions)")
     c.add_argument("--width", type=int, required=True)
@@ -187,6 +205,39 @@ def _dispatch(spark, args) -> int:
     if args.cmd == "surface-area":
         print(api.SurfaceArea(tr))
         return 0
+    if args.cmd == "no-data":
+        if args.set_nd is None:
+            print(tr.meta.nodata)
+            return 0
+        if not args.output:
+            raise SystemExit("--set requires --output")
+        import dataclasses
+
+        from .tiles import TiledRaster
+
+        new_meta = dataclasses.replace(tr.meta, nodata=args.set_nd)
+        _write(TiledRaster(tr.df, new_meta), args.output)
+        return 0
+    if args.cmd == "history":
+        for line in tr.meta.history:
+            print(line)
+        return 0
+    if args.cmd == "dephier":
+        ocean = (_read(spark, args.ocean, args.tile)
+                 if args.ocean else None)
+        deps, labels, _dirs = api.GetDepressionHierarchy(
+            tr, ocean_labels=ocean)
+        print(json.dumps([
+            {k: getattr(d, k) for k in
+             ("dep_label", "parent", "pit_cell", "pit_elev",
+              "out_elev", "cell_count", "dep_vol")}
+            for d in deps], default=str))
+        _write(labels, args.output)
+        return 0
+    if args.cmd == "fsm":
+        wtd = _read(spark, args.wtd, args.tile)
+        _write(api.FillSpillMerge(tr, wtd), args.output)
+        return 0
 
     if args.cmd == "fill":
         out = api.FillDepressions(tr, epsilon=args.epsilon,
@@ -224,6 +275,10 @@ def _dispatch(spark, args) -> int:
         out = combine_tiles(tr, filled, mask, op_name="pit_mask")
     elif args.cmd == "expand":
         out = api.Expand(tr, args.width, args.height, args.value)
+    elif args.cmd == "flood-flowdirs":
+        out = api.FlowDirectionsD8(api.FillDepressions(tr, epsilon=True))
+    elif args.cmd == "watershed":
+        out = api.WatershedLabels(tr)
     elif args.cmd == "arcgis-convert":
         out = api.ArcGISFlowdirs(tr)
     else:                                   # pragma: no cover

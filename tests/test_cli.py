@@ -83,3 +83,56 @@ def test_cli_unknown_attrib_raises(spark, tmp_path):
     with pytest.raises(KeyError):
         main(["terrain", DEM, str(tmp_path / "x.tif"),
               "--attrib", "nope"])
+
+
+def test_cli_flood_flowdirs_watershed_nodata_history(spark, tmp_path,
+                                                     capsys):
+    dirs = str(tmp_path / "dirs.tif")
+    ws = str(tmp_path / "ws.tif")
+    assert main(["flood-flowdirs", DEM, dirs]) == 0
+    assert main(["watershed", DEM, ws]) == 0
+    from richdem_spark.gtiff import read_geotiff
+
+    d = read_geotiff(spark, dirs).to_array()
+    assert d.min() >= 0 and d.max() <= 255
+    # no-data: get, then set on a copy
+    assert main(["no-data", DEM]) == 0
+    assert capsys.readouterr().out.strip() == "9.0"
+    nd_out = str(tmp_path / "nd.tif")
+    assert main(["no-data", DEM, "--set", "-1.0",
+                 "--output", nd_out]) == 0
+    from richdem_spark.gtiff import parse_geotiff
+
+    assert parse_geotiff(nd_out)["nodata"] == -1.0
+    # history: the fill output records its op
+    filled = str(tmp_path / "f2")
+    assert main(["fill", DEM, filled]) == 0
+    assert main(["history", filled]) == 0
+    assert "fill_depressions" in capsys.readouterr().out
+
+
+def test_cli_dephier_and_fsm(spark, tmp_path, capsys):
+    labels = str(tmp_path / "labels.tif")
+    assert main(["dephier", DEM, labels]) == 0
+    deps = json.loads(capsys.readouterr().out)
+    assert isinstance(deps, list) and len(deps) >= 1
+    assert all("dep_label" in d for d in deps)
+
+    # fsm: tiny uniform water layer over the DEM
+    from richdem_spark.kernels.ascii_io import read_ascii_grid as _rag
+
+    dem_arr, dmeta = _rag(DEM)
+    wtd_arr = np.full(dem_arr.shape, 0.05)
+    wtd_arr[dem_arr == dmeta.get("nodata_value")] = 0.0
+    from richdem_spark.tiles import raster_from_array, write_raster
+
+    wtd_path = str(tmp_path / "wtd_table")
+    write_raster(raster_from_array(spark, wtd_arr, tile_w=256,
+                                   tile_h=256), wtd_path)
+    fsm_out = str(tmp_path / "water.tif")
+    assert main(["fsm", DEM, fsm_out, "--wtd", wtd_path]) == 0
+    from richdem_spark.gtiff import read_geotiff
+
+    water = read_geotiff(spark, fsm_out).to_array()
+    assert water.shape == dem_arr.shape
+    assert float(np.nanmax(water)) >= 0.0
