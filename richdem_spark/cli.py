@@ -132,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="required with --set")
     io_cmd("history", "print PROCESSING_HISTORY "
                       "(rd_processing_history)", out=False)
+    c = io_cmd("merge-layout", "mosaic a Layoutfile of tile rasters "
+                               "into one raster "
+                               "(rd_merge_rasters_by_layout)")
+    c.add_argument("--nodata", type=float, default=None,
+                   help="fill value for blank layout slots")
+    io_cmd("split-layout", "write one GeoTIFF per tile + a Layoutfile "
+                           "manifest (the parallel programs' exchange "
+                           "format); OUTPUT is a directory")
 
     c = io_cmd("expand", "grow canvas (rd_expand_dimensions)")
     c.add_argument("--width", type=int, required=True)
@@ -175,7 +183,20 @@ def _dispatch(spark, args) -> int:
         print(json.dumps(rep))
         return 0 if rep["max_abs_diff"] == 0.0 else 1
 
+    if args.cmd == "merge-layout":
+        from .layout import read_layout
+
+        _write(read_layout(spark, args.input, nodata=args.nodata),
+               args.output)
+        return 0
+
     tr = _read(spark, args.input, args.tile)
+
+    if args.cmd == "split-layout":
+        from .layout import write_layout
+
+        print(write_layout(tr, args.output))
+        return 0
 
     if args.cmd == "hist":
         hist = api.Histogram(tr)

@@ -369,6 +369,27 @@ def _decode_segment(blob: bytes, sw: int, sh: int, dtype: str,
     return a
 
 
+def read_geotiff_array(path: str) -> tuple[np.ndarray, dict]:
+    """Serial whole-file decode -> (array, info).  Used where one
+    process owns the whole (small) file — e.g. each executor reading
+    its own tile file of a Layoutfile mosaic (layout.py); the
+    distributed byte-range path for big single files is
+    :func:`read_geotiff`."""
+    info = parse_geotiff(path)
+    H, W = info["height"], info["width"]
+    out = np.zeros((H, W), np.dtype(info["dtype"]))
+    with open(path, "rb") as f:
+        for (sx, sy, sw, sh, o, c) in info["segments"]:
+            f.seek(o)
+            a = _decode_segment(f.read(c), sw, sh, info["dtype"],
+                                info["compression"], info["predictor"],
+                                info["bo"])
+            eh = min(sh, H - sy)
+            ew = min(sw, W - sx)
+            out[sy:sy + eh, sx:sx + ew] = a[:eh, :ew]
+    return out, info
+
+
 def read_geotiff(
     spark: SparkSession, path: str, tile_w: int = 256, tile_h: int = 256,
 ) -> TiledRaster:
