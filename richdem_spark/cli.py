@@ -44,9 +44,12 @@ def _read(spark, path: str, tile: int):
         from .tiles import raster_from_array
 
         arr, meta = read_ascii_grid(path)
+        kw = {}
+        if meta.get("geotransform"):
+            kw["geotransform"] = tuple(meta["geotransform"])
         return raster_from_array(
             spark, arr, tile_w=tile, tile_h=tile,
-            nodata=meta.get("nodata_value"))
+            nodata=meta.get("nodata_value"), **kw)
     from .tiles import read_raster
 
     return read_raster(spark, path)
@@ -128,6 +131,17 @@ def main(argv: list[str] | None = None) -> int:
     c = io_cmd("no-data", "get/set the NoData value (rd_no_data)",
                out=False)
     c.add_argument("--set", type=float, default=None, dest="set_nd")
+    c.add_argument("--output", default=None,
+                   help="required with --set")
+    c = io_cmd("geotransform", "get/set the geotransform "
+                               "(rd_geotransform)", out=False)
+    c.add_argument("--set", nargs=6, type=float, default=None,
+                   dest="set_gt", metavar="G")
+    c.add_argument("--output", default=None,
+                   help="required with --set")
+    c = io_cmd("projection", "get/set the projection (rd_projection)",
+               out=False)
+    c.add_argument("--set", default=None, dest="set_proj")
     c.add_argument("--output", default=None,
                    help="required with --set")
     io_cmd("history", "print PROCESSING_HISTORY "
@@ -226,9 +240,19 @@ def _dispatch(spark, args) -> int:
     if args.cmd == "surface-area":
         print(api.SurfaceArea(tr))
         return 0
-    if args.cmd == "no-data":
-        if args.set_nd is None:
-            print(tr.meta.nodata)
+    if args.cmd in ("no-data", "geotransform", "projection"):
+        field, new_val = {
+            "no-data": ("nodata", getattr(args, "set_nd", None)),
+            "geotransform": ("geotransform",
+                             tuple(args.set_gt) if getattr(
+                                 args, "set_gt", None) else None),
+            "projection": ("projection", getattr(args, "set_proj",
+                                                 None)),
+        }[args.cmd]
+        if new_val is None:
+            cur = getattr(tr.meta, field)
+            print(json.dumps(list(cur)) if field == "geotransform"
+                  else cur)
             return 0
         if not args.output:
             raise SystemExit("--set requires --output")
@@ -236,7 +260,7 @@ def _dispatch(spark, args) -> int:
 
         from .tiles import TiledRaster
 
-        new_meta = dataclasses.replace(tr.meta, nodata=args.set_nd)
+        new_meta = dataclasses.replace(tr.meta, **{field: new_val})
         _write(TiledRaster(tr.df, new_meta), args.output)
         return 0
     if args.cmd == "history":

@@ -136,3 +136,20 @@ def test_cli_dephier_and_fsm(spark, tmp_path, capsys):
     water = read_geotiff(spark, fsm_out).to_array()
     assert water.shape == dem_arr.shape
     assert float(np.nanmax(water)) >= 0.0
+
+
+def test_cli_geotransform_projection(spark, tmp_path, capsys):
+    # get
+    assert main(["geotransform", DEM]) == 0
+    gt = json.loads(capsys.readouterr().out)
+    assert len(gt) == 6 and gt[1] == 3.0
+    # set geotransform on a copy (tile-table output keeps projection)
+    out = str(tmp_path / "gt_out")
+    assert main(["geotransform", DEM, "--set", "10", "2", "0", "99",
+                 "0", "-2", "--output", out]) == 0
+    assert main(["geotransform", out]) == 0
+    assert json.loads(capsys.readouterr().out) == [10, 2, 0, 99, 0, -2]
+    assert main(["projection", out, "--set", "EPSG:26915",
+                 "--output", str(tmp_path / "pj_out")]) == 0
+    assert main(["projection", str(tmp_path / "pj_out")]) == 0
+    assert capsys.readouterr().out.strip() == "EPSG:26915"
