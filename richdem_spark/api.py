@@ -988,6 +988,67 @@ def ArcGISFlowdirs(dirs: TiledRaster) -> TiledRaster:
     )
 
 
+def TaudemFlowdirs(dirs: TiledRaster) -> TiledRaster:
+    """TauDEM D8 codes -> RichDEM facets
+    (apps/rd_taudem_d8_to_richdem_d8.cpp)."""
+    from .kernels.d8 import taudem_to_d8
+    from .ops.focal import elementwise
+
+    nd = dirs.meta.nodata
+    return elementwise(
+        dirs,
+        lambda a: taudem_to_d8(a, nodata=nd),
+        out_dtype="uint8",
+        out_nodata=None if nd is None else float(FLOWDIR_NO_DATA),
+        op_name="taudem_to_d8",
+    )
+
+
+def LoopCheck(dirs: TiledRaster) -> dict:
+    """Verify a D8 flowdir raster is acyclic (apps/rd_loop_check.cpp).
+
+    The reference follows every cell's path for up to ``width`` steps
+    and prints the tail of any path that fails to terminate.  Tiled
+    equivalent: a per-tile Kahn trim counts the cells of every cycle
+    that closes inside one tile, and cycles spanning tiles are
+    exactly the unresolvable nodes of the cross-tile perimeter graph
+    the tiled accumulation already solves (ops/accum.py:292-296) — so
+    the cross-tile stage reuses that machinery, inheriting its
+    driver/two-level scale switch.  Returns ``{"acyclic": bool,
+    "in_tile_loop_cells": n, "cross_tile_loop_cells": m}``.
+    """
+    import re
+
+    from .kernels.d8 import d8_loop_residual
+    from .ops.focal import aggregate_tiles
+
+    in_tile = aggregate_tiles(
+        dirs,
+        lambda a, nd: d8_loop_residual(a.astype("uint8")),
+        lambda x, y: x + y,
+        0,
+    )
+    cross = 0
+    if in_tile == 0 and dirs.meta.ntiles_x * dirs.meta.ntiles_y > 1:
+        from .ops.accum import flow_accumulation_d8
+
+        # the perimeter-graph Kahn is the cross-tile cycle detector;
+        # a loop surfaces as its "unresolved" error (driver path) or
+        # the same message wrapped in a PythonException (two-level)
+        try:
+            flow_accumulation_d8(dirs).df.count()
+        except Exception as e:  # noqa: BLE001 — message-dispatched
+            m = re.search(r"flow loop detected: (\d+)", str(e))
+            if not m:
+                raise
+            cross = int(m.group(1))
+    return {
+        "acyclic": in_tile == 0 and cross == 0,
+        "in_tile_loop_cells": int(in_tile),
+        "cross_tile_loop_cells": cross,
+    }
+
+
 def Perimeter(tr: TiledRaster, perim_type: str = "CELL_COUNT") -> float:
     """DEM perimeter (misc/misc_methods.hpp:173-240).
 

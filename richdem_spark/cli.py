@@ -161,6 +161,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--value", type=float, default=0.0)
 
     io_cmd("arcgis-convert", "ArcGIS flowdirs -> RichDEM facets")
+    io_cmd("taudem-convert", "TauDEM flowdirs -> RichDEM facets "
+                             "(rd_taudem_d8_to_richdem_d8)")
+    io_cmd("loop-check", "verify a flowdir raster is acyclic "
+                         "(rd_loop_check)", out=False)
+    io_cmd("layout-check", "validate a Layoutfile: files exist, one "
+                           "shared tile shape (rd_layout_check.py)",
+           out=False)
 
     io_cmd("hist", "value histogram (rd_hist)", out=False)
     io_cmd("info", "raster metadata (rd_raster_inspect / "
@@ -204,6 +211,13 @@ def _dispatch(spark, args) -> int:
                args.output)
         return 0
 
+    if args.cmd == "layout-check":
+        from .layout import check_layout
+
+        rep = check_layout(spark, args.input)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 1
+
     tr = _read(spark, args.input, args.tile)
 
     if args.cmd == "split-layout":
@@ -231,6 +245,10 @@ def _dispatch(spark, args) -> int:
             "min_max": list(api.RasterMinMax(tr)),
         }, default=str))
         return 0
+    if args.cmd == "loop-check":
+        rep = api.LoopCheck(tr)
+        print(json.dumps(rep))
+        return 0 if rep["acyclic"] else 1
     if args.cmd == "has-depressions":
         filled = api.FillDepressions(tr)
         delta = api.RasterCompare(tr, filled)
@@ -326,6 +344,8 @@ def _dispatch(spark, args) -> int:
         out = api.WatershedLabels(tr)
     elif args.cmd == "arcgis-convert":
         out = api.ArcGISFlowdirs(tr)
+    elif args.cmd == "taudem-convert":
+        out = api.TaudemFlowdirs(tr)
     else:                                   # pragma: no cover
         raise SystemExit(f"unknown command {args.cmd}")
     _write(out, args.output)

@@ -38,7 +38,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.types import (
-    BinaryType,
     IntegerType,
     LongType,
     StringType,

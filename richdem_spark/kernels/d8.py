@@ -162,6 +162,31 @@ def d8_flow_accum(
     return out
 
 
+def d8_loop_residual(dirs: np.ndarray) -> int:
+    """Number of data cells on a flow cycle that closes entirely within
+    this array view; 0 iff the in-tile flow graph is acyclic.  Kahn trim
+    from the zero-indegree frontier — with out-degree <= 1 the cells it
+    never reaches are exactly the cycle cells (loop-check half of
+    apps/rd_loop_check.cpp, which instead bounds every FollowPath at
+    ``width`` steps)."""
+    h, w = dirs.shape
+    n = h * w
+    valid = dirs.ravel() != FLOWDIR_NO_DATA
+    ds, ok = _neighbor_flat(h, w, dirs)
+    ok = ok & valid & valid[np.where(ds >= 0, ds, 0)]
+    ds = np.where(ok, ds, -1)
+    deps = np.bincount(ds[ok], minlength=n)
+    frontier = np.flatnonzero(valid & (deps == 0))
+    done = frontier.size
+    while frontier.size:
+        f = frontier[ok[frontier]]
+        t = ds[f]
+        np.subtract.at(deps, t, 1)
+        frontier = np.unique(t[deps[t] == 0])
+        done += frontier.size
+    return int(valid.sum()) - done
+
+
 def exit_cell_of(dirs: np.ndarray) -> np.ndarray:
     """For every cell, the flat index of the last in-tile cell on its flow
     path (where the path terminates or steps off the tile); -1 stays -1 for
@@ -198,3 +223,26 @@ def arcgis_to_d8(dirs: np.ndarray) -> np.ndarray:
     for k, v in ARCGIS_TO_D8.items():
         lut[k] = v
     return lut[dirs.astype(np.int64)]
+
+
+# TauDEM 0-8 -> RichDEM facets (apps/rd_taudem_d8_to_richdem_d8.cpp:
+# `taudem_to_richdem[9] = {0,5,4,3,2,1,8,7,6}`)
+_TAUDEM_TO_D8 = np.array([0, 5, 4, 3, 2, 1, 8, 7, 6], dtype=np.uint8)
+
+
+def taudem_to_d8(dirs: np.ndarray,
+                 nodata: float | None = None) -> np.ndarray:
+    """TauDEM D8 codes (1=E counter-clockwise) -> RichDEM facets; codes
+    outside 0..8 raise, matching the reference app's error."""
+    d = dirs.astype(np.int64)
+    mask = np.ones(d.shape, bool) if nodata is None else (dirs != nodata)
+    bad = mask & ((d < 0) | (d > 8))
+    if bad.any():
+        y, x = np.argwhere(bad)[0]
+        raise ValueError(
+            f"invalid TauDEM flowdir {dirs[y, x]!r} at ({x},{y})")
+    out = _TAUDEM_TO_D8[np.where(mask, d, 0)]
+    if nodata is not None:
+        out = out.copy()
+        out[~mask] = FLOWDIR_NO_DATA
+    return out

@@ -153,6 +153,73 @@ _WROTE_SCHEMA = StructType(
 )
 
 
+_CHECK_SCHEMA = StructType(
+    [
+        StructField("path", StringType(), False),
+        StructField("exists", IntegerType(), False),
+        StructField("height", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+    ]
+)
+
+
+def check_layout(spark: SparkSession, layout_path: str) -> dict:
+    """Validate a Layoutfile (apps/rd_layout_check.py): grid shape,
+    duplicate filenames, file existence — plus one check the reference
+    app skips but ``read_layout`` enforces: every tile decodes to one
+    shared (height, width).  Existence/shape probing is distributed
+    (one executor task per batch of tile files); only the path list and
+    per-file verdicts touch the driver."""
+    grid = parse_layoutfile(layout_path)
+    nty, ntx = len(grid), len(grid[0])
+    paths = [p for row in grid for p in row if p]
+    total = ntx * nty
+    dupes = sorted({os.path.basename(p) for p in paths
+                    if paths.count(p) > 1})
+
+    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {f.name: [] for f in _CHECK_SCHEMA.fields}
+            for r in pdf.itertuples():
+                h = w = None
+                exists = int(os.path.exists(r.path))
+                if exists:
+                    try:
+                        arr, _ = _read_tile_file(r.path)
+                        h, w = int(arr.shape[0]), int(arr.shape[1])
+                    except Exception:  # undecodable counts as bad
+                        exists = 0
+                out["path"].append(r.path)
+                out["exists"].append(exists)
+                out["height"].append(h)
+                out["width"].append(w)
+            yield pd.DataFrame(out)
+
+    missing: list[str] = []
+    shapes: set[tuple[int, int]] = set()
+    if paths:
+        pdf = spark.createDataFrame(
+            [(0, 0, p) for p in sorted(set(paths))], _PATH_SCHEMA
+        ).repartition(
+            min(len(paths), spark.sparkContext.defaultParallelism))
+        for r in pdf.mapInPandas(probe, _CHECK_SCHEMA).collect():
+            if not r.exists:
+                missing.append(os.path.basename(r.path))
+            else:
+                shapes.add((r.height, r.width))
+    return {
+        "layout_height": nty,
+        "layout_width": ntx,
+        "total_tiles": total,
+        "null_tiles": total - len(paths),
+        "data_tiles": len(paths),
+        "duplicates": dupes,
+        "missing": sorted(missing),
+        "shapes": sorted([h, w] for h, w in shapes),
+        "ok": not dupes and not missing and len(shapes) <= 1,
+    }
+
+
 def write_layout(tr: TiledRaster, out_dir: str,
                  name: str = "layout.layout",
                  compress: bool | str = True) -> str:

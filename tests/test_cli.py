@@ -153,3 +153,82 @@ def test_cli_geotransform_projection(spark, tmp_path, capsys):
                  "--output", str(tmp_path / "pj_out")]) == 0
     assert main(["projection", str(tmp_path / "pj_out")]) == 0
     assert capsys.readouterr().out.strip() == "EPSG:26915"
+
+
+def _write_dirs(path, arr, nodata=None):
+    from richdem_spark.kernels.ascii_io import write_ascii_grid
+
+    meta = {"nodata_value": nodata} if nodata is not None else {}
+    with open(path, "w") as f:
+        f.write(write_ascii_grid(arr, meta))
+
+
+def test_cli_taudem_convert(spark, tmp_path):
+    # TauDEM 1=E counter-clockwise -> facets {0,5,4,3,2,1,8,7,6}
+    # (apps/rd_taudem_d8_to_richdem_d8.cpp)
+    taud = np.array([[1, 2, 3], [4, 0, 5], [6, 7, 99]], dtype=float)
+    src = str(tmp_path / "taud.asc")
+    _write_dirs(src, taud, nodata=99)
+    out = str(tmp_path / "rich.asc")
+    assert main(["taudem-convert", src, out]) == 0
+    got, meta = read_ascii_grid(out)
+    exp = np.array([[5, 4, 3], [2, 0, 1], [8, 7, 255]], dtype=float)
+    np.testing.assert_array_equal(got, exp)
+    assert meta["nodata_value"] == 255
+
+    bad = str(tmp_path / "bad.asc")
+    _write_dirs(bad, np.array([[9.0]]))
+    with pytest.raises(Exception, match="[Ii]nvalid"):
+        main(["taudem-convert", bad, str(tmp_path / "x.asc")])
+
+
+def test_cli_loop_check(spark, tmp_path, capsys):
+    # all NO_FLOW: trivially acyclic
+    flat = str(tmp_path / "flat.asc")
+    _write_dirs(flat, np.zeros((4, 4)))
+    assert main(["loop-check", flat]) == 0
+    assert json.loads(capsys.readouterr().out)["acyclic"] is True
+
+    # 2-cycle inside one tile: (0,0) -E-> (1,0) -W-> (0,0)
+    loop = np.zeros((4, 4))
+    loop[0, 0], loop[0, 1] = 5, 1
+    lp = str(tmp_path / "loop.asc")
+    _write_dirs(lp, loop)
+    assert main(["loop-check", lp]) == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["acyclic"] is False and rep["in_tile_loop_cells"] >= 2
+
+    # same cycle split across a tile seam: (1,0) -E-> (2,0) -W-> (1,0)
+    xloop = np.zeros((4, 4))
+    xloop[0, 1], xloop[0, 2] = 5, 1
+    xp = str(tmp_path / "xloop.asc")
+    _write_dirs(xp, xloop)
+    assert main(["--tile", "2", "loop-check", xp]) == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["acyclic"] is False
+    assert rep["in_tile_loop_cells"] == 0
+    assert rep["cross_tile_loop_cells"] >= 2
+
+    # real flowdirs off an epsilon-filled DEM are acyclic, multi-tile
+    dirs = str(tmp_path / "dirs.asc")
+    assert main(["--tile", "5", "flood-flowdirs", DEM, dirs]) == 0
+    assert main(["--tile", "5", "loop-check", dirs]) == 0
+    assert json.loads(capsys.readouterr().out)["acyclic"] is True
+
+
+def test_cli_layout_check(spark, tmp_path, capsys):
+    import os
+
+    lay_dir = str(tmp_path / "lay")
+    assert main(["--tile", "5", "split-layout", DEM, lay_dir]) == 0
+    layout = capsys.readouterr().out.strip()
+    assert main(["layout-check", layout]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ok"] is True
+    assert rep["data_tiles"] == 4 and rep["null_tiles"] == 0
+    assert rep["shapes"] == [[5, 5]]
+
+    os.remove(os.path.join(lay_dir, "tile_1_1.tif"))
+    assert main(["layout-check", layout]) == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ok"] is False and rep["missing"] == ["tile_1_1.tif"]

@@ -184,3 +184,29 @@ def test_max_dep_fill_goldens():
     full = priority_flood_fill(dem, nodata=None)
     got = priority_flood_max_dep(dem, dem.size)
     assert (got <= full).all() and (got >= dem).all()
+
+
+def test_d8_loop_residual_and_taudem():
+    import numpy as np
+
+    from richdem_spark.kernels.d8 import d8_loop_residual, taudem_to_d8
+
+    dirs = np.zeros((5, 5), dtype=np.uint8)
+    assert d8_loop_residual(dirs) == 0
+    # 2-cycle; a cell draining INTO it still drains (out-degree <= 1
+    # means nothing is strictly downstream of a cycle), so the residual
+    # is exactly the two cycle cells
+    dirs[2, 1], dirs[2, 2] = 5, 1
+    dirs[2, 0] = 5
+    assert d8_loop_residual(dirs) == 2
+    dirs[2, 0] = 255
+    assert d8_loop_residual(dirs) == 2
+
+    t = np.arange(9, dtype=float).reshape(3, 3)
+    np.testing.assert_array_equal(
+        taudem_to_d8(t),
+        np.array([[0, 5, 4], [3, 2, 1], [8, 7, 6]], dtype=np.uint8))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="invalid TauDEM"):
+        taudem_to_d8(np.array([[42.0]]))
