@@ -420,6 +420,65 @@ def q_fill_accum_grid(spark, sf_dir):
     )
 
 
+def _dirs_mod9(spark, sf_dir):
+    """Deterministic 0..8 code field shared with the oracles: the tie
+    grid's per-cell doc count mod 9 (the 1e-6 epsilon never reaches 1,
+    so floor(z) IS the count on both sides)."""
+    import numpy as np
+
+    from richdem_spark.ops.focal import elementwise
+
+    return elementwise(
+        _fill_grid(spark, sf_dir),
+        lambda a: np.floor(a) % 9,
+        out_dtype="uint8",
+        out_nodata=None,
+        op_name="dirs_mod9",
+    )
+
+
+def q_taudem_grid(spark, sf_dir):
+    """TauDEM -> RichDEM facet conversion
+    (apps/rd_taudem_d8_to_richdem_d8.cpp), value-checked: the shared
+    grid's count-mod-9 field is a deterministic TauDEM code raster; the
+    oracle applies the reference LUT {0,5,4,3,2,1,8,7,6} in SQL."""
+    from richdem_spark.api import TaudemFlowdirs
+
+    conv = TaudemFlowdirs(_dirs_mod9(spark, sf_dir))
+    return conv.cells().select(
+        F.col("x").cast("long").alias("gx"),
+        F.col("y").cast("long").alias("gy"),
+        F.col("value").cast("long").alias("d8"),
+    )
+
+
+def q_loop_cells_grid(spark, sf_dir):
+    """Per-tile count of flowdir cells on a cycle that closes inside
+    the tile — the in-tile half of LoopCheck (apps/rd_loop_check.cpp)
+    — value-checked: the oracle walks the same functional graph with a
+    recursive CTE (a cell is on a cycle iff it reaches itself) under
+    the same stay-in-tile rule."""
+    import pandas as pd
+
+    from richdem_spark.kernels.d8 import d8_loop_residual
+    from richdem_spark.tiles import unpack
+
+    dirs = _dirs_mod9(spark, sf_dir)
+
+    def per_tile(it):
+        for pdf in it:
+            out = {"tile_x": [], "tile_y": [], "loop_cells": []}
+            for r in pdf.itertuples():
+                a = unpack(r.data, r.height, r.width, r.dtype)
+                out["tile_x"].append(int(r.tile_x))
+                out["tile_y"].append(int(r.tile_y))
+                out["loop_cells"].append(d8_loop_residual(a))
+            yield pd.DataFrame(out)
+
+    return dirs.df.mapInPandas(
+        per_tile, "tile_x bigint, tile_y bigint, loop_cells bigint")
+
+
 def q_fsm_surface(spark, sf_dir):
     """Depression hierarchy + Fill-Spill-Merge, value-checked through
     the reference's own equivalence (tests/fsm_tests.cpp:467-471):
@@ -746,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dephier_pits": q_dephier_pits,
         "fill_accum_grid": q_fill_accum_grid,
         "fsm_surface": q_fsm_surface,
+        "taudem_grid": q_taudem_grid,
+        "loop_cells_grid": q_loop_cells_grid,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -855,6 +916,63 @@ def oracle_sql() -> dict[str, str]:
                       else 0
                     end)::bigint as d8
             from pick
+        """,
+        "taudem_grid": f"""
+            with grid as ({_FILL_GRID_SQL})
+            select gx::bigint as gx, gy::bigint as gy,
+                   (case (floor(z)::bigint % 9)
+                      when 0 then 0 when 1 then 5 when 2 then 4
+                      when 3 then 3 when 4 then 2 when 5 then 1
+                      when 6 then 8 when 7 then 7 else 6
+                    end)::bigint as d8
+            from grid
+        """,
+        "loop_cells_grid": f"""
+            with recursive grid as ({_FILL_GRID_SQL}),
+            dirs as (
+                select gx, gy, (floor(z)::bigint % 9) as d from grid
+            ),
+            edges as (
+                select gx, gy, gx + dx as tx, gy + dy as ty
+                from (
+                    select gx, gy, d,
+                           case d when 1 then -1 when 2 then -1
+                                  when 8 then -1 when 4 then 1
+                                  when 5 then 1 when 6 then 1
+                                  else 0 end as dx,
+                           case d when 2 then -1 when 3 then -1
+                                  when 4 then -1 when 6 then 1
+                                  when 7 then 1 when 8 then 1
+                                  else 0 end as dy
+                    from dirs) s
+                where d > 0
+                  and gx + dx between 0 and {FG - 1}
+                  and gy + dy between 0 and {FG - 1}
+                  and (gx + dx) // 6 = gx // 6
+                  and (gy + dy) // 6 = gy // 6
+            ),
+            walk as (
+                select gx as sx, gy as sy, tx as cx, ty as cy
+                from edges
+                union
+                select w.sx, w.sy, e.tx, e.ty
+                from walk w join edges e
+                  on e.gx = w.cx and e.gy = w.cy
+            ),
+            loops as (
+                select sx, sy from walk where cx = sx and cy = sy
+            ),
+            tiles as (
+                select distinct (gx // 6) as tile_x, (gy // 6) as tile_y
+                from grid
+            )
+            select t.tile_x::bigint as tile_x,
+                   t.tile_y::bigint as tile_y,
+                   count(l.sx)::bigint as loop_cells
+            from tiles t
+            left join loops l
+              on l.sx // 6 = t.tile_x and l.sy // 6 = t.tile_y
+            group by 1, 2
         """,
         "dephier_pits": f"""
             with grid as ({_FILL_GRID_SQL})
