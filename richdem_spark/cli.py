@@ -168,6 +168,19 @@ def main(argv: list[str] | None = None) -> int:
     io_cmd("layout-check", "validate a Layoutfile: files exist, one "
                            "shared tile shape (rd_layout_check.py)",
            out=False)
+    io_cmd("layout-display", "ASCII occupancy map of a Layoutfile "
+                             "(rd_layout_display.py)", out=False)
+    c = io_cmd("layout-find-square", "largest filled tile square in a "
+                                     "Layoutfile "
+                                     "(rd_layout_find_square.py)",
+               out=False)
+    c.add_argument("--prefix", default=None,
+                   help="write nested <prefix><size>.layout files; "
+                        "default prints the dimension only")
+    c = io_cmd("raster-display", "print a raster to the terminal "
+                                 "(rd_raster_display)", out=False)
+    c.add_argument("--flip", default="noflip",
+                   choices=["noflip", "fliph", "flipv", "fliphv"])
 
     io_cmd("hist", "value histogram (rd_hist)", out=False)
     io_cmd("info", "raster metadata (rd_raster_inspect / "
@@ -183,6 +196,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("b")
 
     args = p.parse_args(argv)
+    # manifest-only commands never touch pixel data — no session
+    if args.cmd in ("layout-display", "layout-find-square"):
+        return _layout_cmd(args)
     from pyspark.sql import SparkSession
 
     pre_existing = SparkSession.getActiveSession()
@@ -192,6 +208,27 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         if pre_existing is None:
             spark.stop()
+
+
+def _layout_cmd(args) -> int:
+    if args.cmd == "layout-display":
+        with open(args.input) as f:
+            for line in f:
+                cells = line.rstrip("\n").split(",")
+                print("".join("#" if c.strip() else " "
+                              for c in cells))
+        return 0
+    from .layout import find_largest_square
+
+    best, loc, raw = find_largest_square(args.input)
+    if args.prefix and best > 0:
+        y0, x0 = loc
+        for size in range(1, best + 1):
+            with open(f"{args.prefix}{size}.layout", "w") as f:
+                for y in range(y0, y0 + size):
+                    f.write(",".join(raw[y][x0:x0 + size]) + "\n")
+    print(best)
+    return 0 if best > 0 else 1
 
 
 def _dispatch(spark, args) -> int:
@@ -244,6 +281,19 @@ def _dispatch(spark, args) -> int:
             "data_cells": api.NumDataCells(tr),
             "min_max": list(api.RasterMinMax(tr)),
         }, default=str))
+        return 0
+    if args.cmd == "raster-display":
+        gt = tr.meta.geotransform
+        # flip so north-up/west-east display order holds, XOR the
+        # user's directive (rd_raster_display.cpp:30-34)
+        if (gt[1] < 0) ^ (args.flip in ("fliph", "fliphv")):
+            tr = api.FlipHorz(tr)
+        if (gt[5] > 0) ^ (args.flip in ("flipv", "fliphv")):
+            tr = api.FlipVert(tr)
+        print("Geotransform: "
+              + " ".join(f"{x:6.2g}" for x in gt), file=sys.stderr)
+        for row in tr.to_array():
+            print(" ".join(f"{int(v):>6d}" for v in row))
         return 0
     if args.cmd == "loop-check":
         rep = api.LoopCheck(tr)

@@ -220,6 +220,28 @@ def check_layout(spark: SparkSession, layout_path: str) -> dict:
     }
 
 
+def find_largest_square(layout_path: str):
+    """Largest all-data square of tiles in a Layoutfile
+    (apps/rd_layout_find_square.py): bottom-up min-of-three DP over the
+    raw CSV rows.  Returns ``(size, (y, x), raw_rows)``.  Mirrors the
+    reference's quirks: blank lines count as one-empty-cell rows, and
+    the DP never seeds from the last row/column, so a 1-row or 1-column
+    layout reports -1 exactly as the original script does."""
+    with open(layout_path) as f:
+        raw = [line.rstrip("\n").split(",") for line in f]
+    occ = [[1 if c.strip() else 0 for c in row] for row in raw]
+    best, loc = -1, None
+    mat = [row[:] for row in occ]
+    for y in range(len(mat) - 2, -1, -1):
+        row, below = mat[y], mat[y + 1]
+        for x in range(min(len(row), len(below)) - 2, -1, -1):
+            if row[x] > 0:
+                row[x] = min(below[x], row[x + 1], below[x + 1]) + 1
+                if row[x] > best:
+                    best, loc = row[x], (y, x)
+    return best, loc, raw
+
+
 def write_layout(tr: TiledRaster, out_dir: str,
                  name: str = "layout.layout",
                  compress: bool | str = True) -> str:

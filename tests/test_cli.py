@@ -232,3 +232,40 @@ def test_cli_layout_check(spark, tmp_path, capsys):
     assert main(["layout-check", layout]) == 1
     rep = json.loads(capsys.readouterr().out)
     assert rep["ok"] is False and rep["missing"] == ["tile_1_1.tif"]
+
+
+def test_cli_layout_display_and_find_square(tmp_path, capsys):
+    lp = str(tmp_path / "m.layout")
+    with open(lp, "w") as f:
+        f.write("a.tif,b.tif,c.tif\nd.tif,,e.tif\nf.tif,g.tif,h.tif\n")
+    assert main(["layout-display", lp]) == 0
+    assert capsys.readouterr().out == "###\n# #\n###\n"
+
+    # hole at centre caps the largest square at 1
+    assert main(["layout-find-square", lp]) == 0
+    assert capsys.readouterr().out.strip() == "1"
+
+    full = str(tmp_path / "full.layout")
+    with open(full, "w") as f:
+        f.write("a,b,c\nd,e,f\ng,h,i\n")
+    pre = str(tmp_path / "sq")
+    assert main(["layout-find-square", full, "--prefix", pre]) == 0
+    assert capsys.readouterr().out.strip() == "3"
+    with open(pre + "2.layout") as f:
+        assert f.read() == "a,b\nd,e\n"
+
+    # reference quirk: the DP never seeds from the last row, so a
+    # 1-row layout reports -1 (exit 1), as the original script does
+    one = str(tmp_path / "one.layout")
+    with open(one, "w") as f:
+        f.write("a,b\n")
+    assert main(["layout-find-square", one]) == 1
+    assert capsys.readouterr().out.strip() == "-1"
+
+
+def test_cli_raster_display(spark, capsys):
+    assert main(["raster-display", DEM]) == 0
+    out = capsys.readouterr().out.strip().split("\n")
+    assert len(out) == 10
+    first = out[0].split()
+    assert len(first) == 10 and all(c.isdigit() for c in first)
