@@ -556,7 +556,7 @@ def q_lang_id(spark, sf_dir):
 def q_minhash_signatures(spark, sf_dir):
     from richdem_spark.textops import minhash_signatures, shingles
 
-    sh = shingles(_docs(spark, sf_dir))
+    sh = shingles(_docs(spark, sf_dir), distinct=False)
     sig = minhash_signatures(sh, num_hashes=4)
     return sig.select(
         F.col("doc_id").cast("long"),
@@ -575,7 +575,7 @@ def q_dedup_clusters(spark, sf_dir):
         shingles,
     )
 
-    sh = shingles(_docs(spark, sf_dir))
+    sh = shingles(_docs(spark, sf_dir), distinct=False)
     pairs = minhash_lsh_pairs(sh, num_hashes=4, bands=2) \
         .select("a", "b").distinct()
     return near_dup_clusters(pairs).select(
@@ -586,7 +586,7 @@ def q_dedup_clusters(spark, sf_dir):
 def q_minhash_lsh_pairs(spark, sf_dir):
     from richdem_spark.textops import minhash_lsh_pairs, shingles
 
-    sh = shingles(_docs(spark, sf_dir))
+    sh = shingles(_docs(spark, sf_dir), distinct=False)
     return minhash_lsh_pairs(sh, num_hashes=4, bands=2).select(
         F.col("a").cast("long"), F.col("b").cast("long"),
         F.col("band").cast("long"),
@@ -596,7 +596,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     from richdem_spark.textops import ngram_jaccard_pairs, shingles
 
-    sh = shingles(_docs(spark, sf_dir))
+    sh = shingles(_docs(spark, sf_dir), distinct=False)
     return ngram_jaccard_pairs(sh, threshold=0.3).select(
         F.col("a").cast("long"), F.col("b").cast("long"),
         F.col("jaccard").cast("double"),
@@ -609,7 +609,7 @@ def q_lsh_guard(spark, sf_dir):
     drop, and the candidate pairs inside them."""
     from richdem_spark.textops import lsh_guard_metrics, shingles
 
-    sh = shingles(_docs(spark, sf_dir))
+    sh = shingles(_docs(spark, sf_dir), distinct=False)
     m = lsh_guard_metrics(sh, num_hashes=4, bands=2, max_bucket_size=2)
     return m.select(
         F.col("candidate_buckets").cast("long"),
@@ -622,7 +622,7 @@ def q_ngram_guard(spark, sf_dir):
     """Stop-shingle guard accounting for the Jaccard path."""
     from richdem_spark.textops import ngram_guard_metrics, shingles
 
-    sh = shingles(_docs(spark, sf_dir))
+    sh = shingles(_docs(spark, sf_dir), distinct=False)
     m = ngram_guard_metrics(sh, max_doc_freq=3)
     return m.select(
         F.col("total_shingles").cast("long"),

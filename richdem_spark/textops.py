@@ -35,18 +35,23 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-             n: int = 3) -> DataFrame:
+             n: int = 3, distinct: bool = True) -> DataFrame:
     """Word n-gram shingle table (id, shingle) — the primitive under
-    MinHash, Jaccard and fingerprinting.  split/explode stay in codegen."""
+    MinHash, Jaccard and fingerprinting.  split/explode stay in codegen.
+
+    ``distinct=True`` dedups (id, shingle) pairs — a full shuffle of the
+    largest table in the pipeline.  Every consumer in this module can
+    skip it: MinHash's min-agg is duplicate-insensitive, and the
+    Jaccard/guard aggregations dedup inside their own shuffle
+    (collect_set / count_distinct partial-aggregate map-side), so pass
+    ``distinct=False`` when feeding them and save the shuffle."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def _shingle_hash(col, j: int):
@@ -61,7 +66,10 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8,
     """MinHash signature per doc: min over shingles of H_j(shingle) for j
     in 0..num_hashes-1.  One aggregation; signature columns mh0..mhK.
     The md5 base hash is computed once and the J permutations derived
-    arithmetically (J-fold cheaper than hashing per permutation)."""
+    arithmetically (J-fold cheaper than hashing per permutation).
+    min() is duplicate-insensitive, so feed it a
+    ``shingles(distinct=False)`` table — the min partial-aggregates
+    map-side and the doc-keyed shuffle ships J longs per doc."""
     base = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10) \
         .cast("long")
     hashed = sh.withColumn("hb", base)
@@ -185,7 +193,7 @@ def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
     The guard is not silent: :func:`ngram_guard_metrics` reports the
     stop-shingles and posting rows the same cap drops."""
     postings = sh.groupBy("shingle").agg(
-        F.collect_list(F.col(id_col)).alias("ids")
+        F.collect_set(F.col(id_col)).alias("ids")
     )
     if max_doc_freq is not None:
         postings = postings.where(F.size("ids") <= max_doc_freq)
@@ -220,7 +228,8 @@ def ngram_guard_metrics(sh: DataFrame, id_col: str = "doc_id",
     """Observability for the stop-shingle guard ("no silent caps"): one
     row — total shingles, shingles over the doc-frequency cap, and the
     posting rows removed with them."""
-    sizes = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sh.groupBy("shingle").agg(
+        F.count_distinct(F.col(id_col)).alias("n"))
     over = F.col("n") > max_doc_freq
     return sizes.agg(
         F.count(F.lit(1)).alias("total_shingles"),
@@ -325,7 +334,7 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Winnowing-style fingerprint: minimum shingle hash per document
     (a 1-function MinHash) — cheap near-dup prefilter."""
-    sh = shingles(df, text_col, id_col, n)
+    sh = shingles(df, text_col, id_col, n, distinct=False)
     return sh.groupBy(id_col).agg(
         F.min(_shingle_hash(F.col("shingle"), 0)).alias("fingerprint")
     )
