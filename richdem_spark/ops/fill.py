@@ -173,6 +173,92 @@ def _round1(meta: RasterMeta, topology: str, metrics=None):
     return run
 
 
+def _reduce_edge_arrays(aa, bb, zz):
+    """(a, b) -> min(z) reduction, fully vectorized
+    (lexsort + reduceat)."""
+    order = np.lexsort((bb, aa))
+    aa, bb, zz = aa[order], bb[order], zz[order]
+    starts = np.flatnonzero(
+        np.r_[True, (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])]
+    )
+    return aa[starts], bb[starts], np.minimum.reduceat(zz, starts)
+
+
+def _strip_pair_edges(parts, lab_a, elv_a, lab_b, elv_b, offs):
+    """Label edges across one facing strip pair (the driver-path twin of
+    the ``run`` kernel above); appends (lo, hi, z) arrays to parts."""
+    la = np.frombuffer(lab_a, dtype=np.int64)
+    lb = np.frombuffer(lab_b, dtype=np.int64)
+    ea = np.frombuffer(elv_a, dtype=np.float64)
+    eb = np.frombuffer(elv_b, dtype=np.float64)
+    n = len(la)
+    for off in offs:
+        lo, hi = max(0, -off), min(n, n - off)
+        l1 = la[lo:hi]
+        l2 = lb[lo + off:hi + off]
+        z = np.maximum(ea[lo:hi], eb[lo + off:hi + off])
+        neq = l1 != l2
+        if neq.any():
+            parts.append((np.minimum(l1[neq], l2[neq]),
+                          np.maximum(l1[neq], l2[neq]), z[neq]))
+
+
+# perimeter columns a driver-side edge build needs (tile blobs excluded)
+_PERIM_COLS = [
+    "tile_x", "tile_y", "edge_a", "edge_b", "edge_z",
+    "lab_n", "lab_s", "lab_w", "lab_e",
+    "elv_n", "elv_s", "elv_w", "elv_e",
+    "lab_nw", "lab_ne", "lab_sw", "lab_se",
+    "elv_nw", "elv_ne", "elv_sw", "elv_se",
+]
+
+
+def _driver_edges(rows, topology: str):
+    """All label-graph edges from ONE collect of the round-1 perimeter
+    columns.  Below the solve threshold the graph is O(perimeter) and
+    already collected for the driver solve, so building the edges here
+    replaces four shuffle stages (in-tile explode, two strip joins, the
+    corner join, the (a,b)->min agg) with numpy over the same bytes —
+    at bench tile counts those stages were 3x the cost of round 1
+    itself.  Above the threshold the distributed edge pipeline runs
+    unchanged."""
+    diag = topology == TOPO_D8
+    offs = (-1, 0, 1) if diag else (0,)
+    edges: list[tuple[int, int, float]] = []
+    parts: list[tuple] = []
+    by_xy = {(r.tile_x, r.tile_y): r for r in rows}
+    for r in rows:
+        edges.extend(zip(r.edge_a, r.edge_b, r.edge_z))
+        right = by_xy.get((r.tile_x + 1, r.tile_y))
+        if right is not None:
+            _strip_pair_edges(parts, r.lab_e, r.elv_e,
+                              right.lab_w, right.elv_w, offs)
+        down = by_xy.get((r.tile_x, r.tile_y + 1))
+        if down is not None:
+            _strip_pair_edges(parts, r.lab_s, r.elv_s,
+                              down.lab_n, down.elv_n, offs)
+        if diag:
+            dr = by_xy.get((r.tile_x + 1, r.tile_y + 1))
+            if dr is not None and r.lab_se != dr.lab_nw:
+                edges.append((min(r.lab_se, dr.lab_nw),
+                              max(r.lab_se, dr.lab_nw),
+                              max(r.elv_se, dr.elv_nw)))
+            bl_t = by_xy.get((r.tile_x + 1, r.tile_y))
+            tr_t = by_xy.get((r.tile_x, r.tile_y + 1))
+            if (bl_t is not None and tr_t is not None
+                    and bl_t.lab_sw != tr_t.lab_ne):
+                edges.append((min(bl_t.lab_sw, tr_t.lab_ne),
+                              max(bl_t.lab_sw, tr_t.lab_ne),
+                              max(bl_t.elv_sw, tr_t.elv_ne)))
+    if parts:
+        aa, bb, zz = _reduce_edge_arrays(
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]))
+        edges.extend(zip(aa.tolist(), bb.tolist(), zz.tolist()))
+    return edges
+
+
 def _seam_edges_df(r1, meta: RasterMeta, topology: str):
     """Cross-tile label edges, computed with zero per-seam Python
     overhead: V/H seams are a strip JOIN (one row per seam) fed to an
@@ -233,19 +319,10 @@ def _seam_edges_df(r1, meta: RasterMeta, topology: str):
                      "z": pd.Series([], dtype="float64")})
                 continue
             # vectorized (a,b)->min(z) reduction: lexsort + reduceat
-            aa = np.concatenate(lo_parts)
-            bb = np.concatenate(hi_parts)
-            zz = np.concatenate(z_parts)
-            order = np.lexsort((bb, aa))
-            aa, bb, zz = aa[order], bb[order], zz[order]
-            starts = np.flatnonzero(
-                np.r_[True, (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])]
-            )
-            yield pd.DataFrame({
-                "a": aa[starts],
-                "b": bb[starts],
-                "z": np.minimum.reduceat(zz, starts),
-            })
+            aa, bb, zz = _reduce_edge_arrays(
+                np.concatenate(lo_parts), np.concatenate(hi_parts),
+                np.concatenate(z_parts))
+            yield pd.DataFrame({"a": aa, "b": bb, "z": zz})
 
     strip_edges = pairs.mapInPandas(run, _EDGE_SCHEMA)
 
@@ -296,21 +373,6 @@ def fill_depressions(
 
     r1 = tr.df.mapInPandas(_round1(meta, topology, metrics), _R1_SCHEMA).persist()
 
-    in_tile_edges = r1.select(
-        F.explode(F.arrays_zip("edge_a", "edge_b", "edge_z")).alias("e")
-    ).select(
-        F.col("e.edge_a").alias("a"),
-        F.col("e.edge_b").alias("b"),
-        F.col("e.edge_z").alias("z"),
-    )
-    seam_edges = _seam_edges_df(r1, meta, topology)
-    # JVM-side partial aggregation keeps the label graph minimal
-    edges_df = (
-        in_tile_edges.unionByName(seam_edges)
-        .groupBy("a", "b")
-        .agg(F.min("z").alias("z"))
-    )
-
     stride = _label_stride(meta)
     ntx = meta.ntiles_x
     lvl_schema = StructType(
@@ -329,9 +391,8 @@ def fill_depressions(
         meta.ntiles_x * meta.ntiles_y * 2 * (meta.tile_w + meta.tile_h)
     )
     if perim_estimate <= DRIVER_SOLVE_MAX_PERIM:
-        all_edges = edges_df.collect()
         graph_elev = graph_priority_flood(
-            [(r.a, r.b, r.z) for r in all_edges]
+            _driver_edges(r1.select(*_PERIM_COLS).collect(), topology)
         )
         lvl_rows = [
             (int((l - 2) // stride), int(l), float(z))
@@ -343,6 +404,20 @@ def fill_depressions(
             if lvl_rows else None
         )
     else:
+        in_tile_edges = r1.select(
+            F.explode(F.arrays_zip("edge_a", "edge_b", "edge_z")).alias("e")
+        ).select(
+            F.col("e.edge_a").alias("a"),
+            F.col("e.edge_b").alias("b"),
+            F.col("e.edge_z").alias("z"),
+        )
+        # JVM-side partial aggregation keeps the label graph minimal
+        edges_df = (
+            in_tile_edges.unionByName(_seam_edges_df(r1, meta, topology))
+            .groupBy("a", "b")
+            .agg(F.min("z").alias("z"))
+        )
+
         def exec_solve(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from ..kernels.fill import graph_priority_flood as gpf
 
