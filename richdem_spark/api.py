@@ -43,6 +43,10 @@ def FillDepressions(
     # flat resolution's nextafter gradients on the matching adjacency —
     # the reference's own principled alternative, exact across seams
     filled = _fill(tr, topology=topology, epsilon=False, metrics=metrics)
+    # the filled surface and its dirs feed three consumers (dirs, the
+    # flat-resolution phase-1 halo, the final alter join) — without a
+    # persist each downstream action re-runs the fill's round 2
+    filled.df.persist()
     from .ops.flats import (
         alter_dem_distributed,
         resolve_flats_distributed,
@@ -59,6 +63,7 @@ def FillDepressions(
             kernel_kwargs={"nodata": filled.meta.nodata},
             op_name="d4_flow_directions",
         )
+    dirs.df.persist()
     mask, labels = resolve_flats_distributed(
         filled, dirs, topology=topology)
     return alter_dem_distributed(filled, mask, labels)

@@ -177,24 +177,41 @@ def d8_flow_flats(flat_mask: np.ndarray, labels: np.ndarray,
     return out
 
 
+def nextafter_k(values: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """``np.nextafter(x, +inf)`` applied ``k`` times, in ONE pass:
+    stepping a finite IEEE-754 double toward +inf is +1 on its
+    sign-magnitude bit pattern, so k steps are one add on the monotone
+    uint64 mapping (positive: set sign bit; negative: invert all bits).
+    The flat-mask levels grow with the flat's cell diameter, so the
+    repeated-masking loop was O(diameter x cells) — quadratic on the
+    big flats the webtext DEMs produce.  -0.0 is normalized to +0.0
+    first (numerically identical; avoids the one-ulp corner where the
+    mapping would skip -0.0 on the way up)."""
+    v = values.astype(np.float64, copy=True)
+    v[v == 0.0] = 0.0
+    u = v.view(np.uint64)
+    sign = np.uint64(1 << 63)
+    mono = np.where(u & sign == 0, u | sign, ~u)
+    mono = mono + k.astype(np.uint64)
+    back = np.where(mono & sign != 0, mono ^ sign, ~mono)
+    return back.view(np.float64)
+
+
 def d8_flats_alter_dem(flat_mask: np.ndarray, labels: np.ndarray,
                        elev: np.ndarray) -> np.ndarray:
-    """Apply flat_mask as repeated nextafter increments
+    """Apply flat_mask as nextafter increments
     (flat_resolution.hpp:545-582); interior cells only."""
     out = elev.astype(np.float64).copy()
     todo = flat_mask.copy()
     todo[labels == 0] = 0
+    todo[todo < 0] = 0
     todo[0, :] = 0
     todo[-1, :] = 0
     todo[:, 0] = 0
     todo[:, -1] = 0
-    mx = int(todo.max()) if todo.size else 0
-    for _ in range(mx):
-        m = todo > 0
-        if not m.any():
-            break
-        out[m] = np.nextafter(out[m], np.inf)
-        todo[m] -= 1
+    sel = todo > 0
+    if sel.any():
+        out[sel] = nextafter_k(out[sel], todo[sel])
     return out
 
 

@@ -76,13 +76,14 @@ _STATE_SCHEMA = StructType(
     ]
 )
 
-_DIST_SCHEMA = StructType(
+_DIST2_SCHEMA = StructType(
     [
         StructField("tile_x", IntegerType(), False),
         StructField("tile_y", IntegerType(), False),
         StructField("width", IntegerType(), False),
         StructField("height", IntegerType(), False),
-        StructField("dist", BinaryType(), False),
+        StructField("dist_hi", BinaryType(), False),  # away-from-higher
+        StructField("dist_lo", BinaryType(), False),  # towards-lower
         StructField("changed", IntegerType(), False),
     ]
 )
@@ -139,7 +140,7 @@ def _labels_raster(st, meta: RasterMeta) -> TiledRaster:
 
 def resolve_flats_distributed(
     elev: TiledRaster, dirs: TiledRaster, max_rounds: int = 10_000,
-    topology: str = TOPO_D8,
+    topology: str = TOPO_D8, metrics: dict | None = None,
 ):
     """Distributed resolve_flats_barnes; returns
     (flat_mask: TiledRaster[int64], labels: TiledRaster[int64]).
@@ -367,7 +368,12 @@ def resolve_flats_distributed(
 
     st2 = st.join(alias_df, ["tile_x", "tile_y"], "left") \
         .mapInPandas(relabel, _STATE_SCHEMA).persist()
+    import time as _time
+
+    _t0 = _time.perf_counter()
     st2.count()
+    if metrics is not None:
+        metrics["label_sec"] = round(_time.perf_counter() - _t0, 3)
     st.unpersist()
 
 
@@ -376,73 +382,129 @@ def resolve_flats_distributed(
     ).persist()
 
     # ---- phase 2: distributed BFS distances ------------------------------
-    def bfs_distance(seed_col: str):
-        def init(it):
-            for pdf in it:
-                out = {f.name: [] for f in _DIST_SCHEMA.fields}
-                for r in pdf.itertuples():
-                    labels = unpack(r.labels, r.height, r.width, "int64")
-                    dirs_a = unpack(r.dirs, r.height, r.width, "uint8")
+    # Both gradient planes (away-from-higher, towards-lower) relax in
+    # ONE round loop: the planes are independent, so running them
+    # sequentially (the round-4 shape) paid the per-round seam
+    # synchronization twice — rounds are now max(diam_hi, diam_lo)
+    # instead of their sum, and each round ships both planes' strips in
+    # one halo exchange.
+    def init2(it):
+        for pdf in it:
+            out = {f.name: [] for f in _DIST2_SCHEMA.fields}
+            for r in pdf.itertuples():
+                labels = unpack(r.labels, r.height, r.width, "int64")
+                dirs_a = unpack(r.dirs, r.height, r.width, "uint8")
+                allowed = (dirs_a == NO_FLOW) & (labels > 0)
+                planes = []
+                for seed_col in ("high", "low"):
                     seed = unpack(getattr(r, seed_col), r.height,
                                   r.width, "uint8").astype(bool)
                     if seed_col == "high":
                         seed = seed & (labels > 0)
-                    allowed = (dirs_a == NO_FLOW) & (labels > 0)
                     dist = np.full((r.height, r.width), _IMAX,
                                    dtype=np.int64)
                     dist[seed] = 1
-                    dist = _local_bfs(dist, allowed, labels, topology)
-                    out["tile_x"].append(r.tile_x)
-                    out["tile_y"].append(r.tile_y)
-                    out["width"].append(r.width)
-                    out["height"].append(r.height)
-                    out["dist"].append(pack(dist))
-                    out["changed"].append(1)
-                yield pd.DataFrame(out)
+                    planes.append(_local_bfs(dist, allowed, labels,
+                                             topology))
+                out["tile_x"].append(r.tile_x)
+                out["tile_y"].append(r.tile_y)
+                out["width"].append(r.width)
+                out["height"].append(r.height)
+                out["dist_hi"].append(pack(planes[0]))
+                out["dist_lo"].append(pack(planes[1]))
+                out["changed"].append(1)
+            yield pd.DataFrame(out)
 
-        dist_df = st2.mapInPandas(init, _DIST_SCHEMA) \
-            .localCheckpoint(eager=True)
+    _t0 = _time.perf_counter()
+    dist_df = st2.mapInPandas(init2, _DIST2_SCHEMA) \
+        .localCheckpoint(eager=True)
+    if metrics is not None:
+        metrics["bfs_init_sec"] = round(_time.perf_counter() - _t0, 3)
 
-        for _ in range(max_rounds):
-            dr = TiledRaster(
-                dist_df.select(
-                    "tile_x", "tile_y", "width", "height",
-                    F.lit("int64").alias("dtype"),
-                    F.lit(None).cast("double").alias("nodata"),
-                    F.col("dist").alias("data"),
-                ),
-                meta,
-            )
-            dist_halo = halo_join(dr).select(
-                "tile_x", "tile_y", F.col("data").alias("dist"),
-                F.col("halo").alias("dist_halo"),
-            )
-            joined = st2.select(
-                "tile_x", "tile_y", "width", "height", "dirs", "labels"
-            ).join(dist_halo, ["tile_x", "tile_y"]).join(
-                lab_halo, ["tile_x", "tile_y"], "left")
+    ntx_, nty_ = meta.ntiles_x, meta.ntiles_y
 
-            def relax(it):
-                for pdf in it:
-                    out = {f.name: [] for f in _DIST_SCHEMA.fields}
-                    for r in pdf.itertuples():
-                        labels = unpack(r.labels, r.height, r.width,
-                                        "int64")
-                        dirs_a = unpack(r.dirs, r.height, r.width,
-                                        "uint8")
-                        dist = unpack(r.dist, r.height, r.width,
+    def emit_dual(it):
+        """Facing strips of BOTH planes in one pass: per slot the hi
+        strip bytes then the lo strip bytes (equal shapes, split at the
+        byte midpoint on assembly)."""
+        for pdf in it:
+            out = {"tile_x": [], "tile_y": [], "slot": [], "strip": []}
+            for r in pdf.itertuples():
+                hi = unpack(r.dist_hi, r.height, r.width, "int64")
+                lo = unpack(r.dist_lo, r.height, r.width, "int64")
+                pieces = {
+                    3: np.s_[-1:, :], 7: np.s_[:1, :],
+                    1: np.s_[:, -1:], 5: np.s_[:, :1],
+                    2: np.s_[-1:, -1:], 4: np.s_[-1:, :1],
+                    8: np.s_[:1, -1:], 6: np.s_[:1, :1],
+                }
+                for slot, sl_ in pieces.items():
+                    tx2 = r.tile_x - int(D8X[slot])
+                    ty2 = r.tile_y - int(D8Y[slot])
+                    if 0 <= tx2 < ntx_ and 0 <= ty2 < nty_:
+                        out["tile_x"].append(tx2)
+                        out["tile_y"].append(ty2)
+                        out["slot"].append(slot)
+                        out["strip"].append(pack(hi[sl_]) + pack(lo[sl_]))
+            yield pd.DataFrame(out)
+
+    halo_schema = StructType([
+        StructField("tile_x", IntegerType(), False),
+        StructField("tile_y", IntegerType(), False),
+        StructField("slot", IntegerType(), False),
+        StructField("strip", BinaryType(), False),
+    ])
+    from ..tiles import HALO_BROADCAST_MAX_BYTES
+
+    perim_bytes = ntx_ * nty_ * 2 * (meta.tile_w + meta.tile_h) * 8 * 4
+
+    _t0 = _time.perf_counter()
+    _rounds = 0
+    _round_secs: list[float] = []
+    for _ in range(max_rounds):
+        _rounds += 1
+        _tr0 = _time.perf_counter()
+        packed = dist_df.mapInPandas(emit_dual, halo_schema) \
+            .groupBy("tile_x", "tile_y").agg(
+                F.collect_list(F.struct("slot", "strip"))
+                .alias("dist_halo"))
+        if perim_bytes <= HALO_BROADCAST_MAX_BYTES:
+            packed = F.broadcast(packed)
+        joined = st2.select(
+            "tile_x", "tile_y", "width", "height", "dirs", "labels"
+        ).join(dist_df.select("tile_x", "tile_y", "dist_hi", "dist_lo"),
+               ["tile_x", "tile_y"]) \
+         .join(packed, ["tile_x", "tile_y"], "left") \
+         .join(lab_halo, ["tile_x", "tile_y"], "left")
+
+        def relax2(it):
+            for pdf in it:
+                out = {f.name: [] for f in _DIST2_SCHEMA.fields}
+                for r in pdf.itertuples():
+                    labels = unpack(r.labels, r.height, r.width,
+                                    "int64")
+                    dirs_a = unpack(r.dirs, r.height, r.width, "uint8")
+                    sd_hi, sd_lo = [], []
+                    if r.dist_halo is not None:
+                        for s in r.dist_halo:
+                            blob = s["strip"]
+                            half = len(blob) // 2
+                            sd_hi.append((s["slot"], blob[:half]))
+                            sd_lo.append((s["slot"], blob[half:]))
+                    sl = ([(s["slot"], s["strip"])
+                           for s in r.lab_halo]
+                          if r.lab_halo is not None else [])
+                    plab, _, _ = assemble_padded(
+                        labels, sl, "int64", -1.0)
+                    allowed = (dirs_a == NO_FLOW) & (labels > 0)
+                    changed = 0
+                    news = []
+                    for blob, strips in ((r.dist_hi, sd_hi),
+                                         (r.dist_lo, sd_lo)):
+                        dist = unpack(blob, r.height, r.width,
                                       "int64").copy()
-                        sd = ([(s["slot"], s["strip"])
-                               for s in r.dist_halo]
-                              if r.dist_halo is not None else [])
-                        sl = ([(s["slot"], s["strip"])
-                               for s in r.lab_halo]
-                              if r.lab_halo is not None else [])
                         pdist, pt, pl = assemble_padded(
-                            dist, sd, "int64", float(_IMAX))
-                        plab, _, _ = assemble_padded(
-                            labels, sl, "int64", -1.0)
-                        allowed = (dirs_a == NO_FLOW) & (labels > 0)
+                            dist, strips, "int64", float(_IMAX))
                         ph, pw = pdist.shape
                         core = (slice(pt, pt + r.height),
                                 slice(pl, pl + r.width))
@@ -462,30 +524,37 @@ def resolve_flats_distributed(
                             new = _local_bfs(new, allowed, labels,
                                              topology)
                             changed = 1
-                        else:
-                            changed = 0
-                        out["tile_x"].append(r.tile_x)
-                        out["tile_y"].append(r.tile_y)
-                        out["width"].append(r.width)
-                        out["height"].append(r.height)
-                        out["dist"].append(pack(new))
-                        out["changed"].append(changed)
-                    yield pd.DataFrame(out)
+                        news.append(new)
+                    out["tile_x"].append(r.tile_x)
+                    out["tile_y"].append(r.tile_y)
+                    out["width"].append(r.width)
+                    out["height"].append(r.height)
+                    out["dist_hi"].append(pack(news[0]))
+                    out["dist_lo"].append(pack(news[1]))
+                    out["changed"].append(changed)
+                yield pd.DataFrame(out)
 
-            # localCheckpoint truncates the per-round lineage so the
-            # plan does not grow with the number of rounds
-            new_df = joined.mapInPandas(relax, _DIST_SCHEMA) \
-                .localCheckpoint(eager=True)
-            n_changed = new_df.agg(F.sum("changed")).collect()[0][0]
+        # lazy localCheckpoint: the changed-count agg below is the
+        # round's ONE action — it materializes the checkpoint and reads
+        # the convergence flag in the same job (eager + agg was two)
+        new_df = joined.mapInPandas(relax2, _DIST2_SCHEMA) \
+            .localCheckpoint(eager=False)
+        n_changed = new_df.agg(F.sum("changed")).collect()[0][0]
 
-            dist_df.unpersist()
-            dist_df = new_df
-            if not n_changed:
-                break
-        return dist_df
+        dist_df.unpersist()
+        dist_df = new_df
+        _round_secs.append(round(_time.perf_counter() - _tr0, 3))
+        if not n_changed:
+            break
+    if metrics is not None:
+        metrics["bfs_rounds"] = _rounds
+        metrics["bfs_round_secs"] = _round_secs
+        metrics["bfs_sec"] = round(_time.perf_counter() - _t0, 3)
 
-    away = bfs_distance("high")
-    towards = bfs_distance("low")
+    away = dist_df.select("tile_x", "tile_y", "width", "height",
+                          F.col("dist_hi").alias("dist"))
+    towards = dist_df.select("tile_x", "tile_y", "width", "height",
+                             F.col("dist_lo").alias("dist"))
 
     # ---- flat_height per global flat (max away level) --------------------
     # per-tile partials + groupBy(flat) max — then shipped back per tile
@@ -691,13 +760,11 @@ def alter_dem_distributed(
                     todo[:, 0] = 0
                 if r.tile_x == ntx - 1:
                     todo[:, -1] = 0
-                mx = int(todo.max()) if todo.size else 0
-                for _ in range(mx):
-                    mm = todo > 0
-                    if not mm.any():
-                        break
-                    e[mm] = np.nextafter(e[mm], np.inf)
-                    todo[mm] -= 1
+                sel = todo > 0
+                if sel.any():
+                    from ..kernels.flats import nextafter_k
+
+                    e[sel] = nextafter_k(e[sel], todo[sel])
                 out["tile_x"].append(r.tile_x)
                 out["tile_y"].append(r.tile_y)
                 out["width"].append(r.width)

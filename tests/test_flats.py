@@ -305,3 +305,24 @@ def test_garbrecht_resolves_flats():
         # flats shrink dramatically and the surface only ever rises
         assert (ndirs == NO_FLOW).sum() < flats.sum()
         assert (out >= filled).all()
+
+
+def test_nextafter_k_matches_iterated_nextafter():
+    import numpy as np
+
+    from richdem_spark.kernels.flats import nextafter_k
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.normal(0, 1e3, 200),            # mixed signs
+        rng.uniform(0, 1e-300, 50),         # subnormal neighbourhood
+        np.array([0.0, -0.0, 1.0, -1.0, 1e308, -1e-308]),
+    ])
+    ks = rng.integers(0, 5000, vals.size)
+    got = nextafter_k(vals, ks)
+    exp = vals.astype(np.float64).copy()
+    exp[exp == 0.0] = 0.0
+    for i in range(exp.size):
+        for _ in range(int(ks[i])):
+            exp[i] = np.nextafter(exp[i], np.inf)
+    np.testing.assert_array_equal(got, exp)
