@@ -347,8 +347,13 @@ def resolve_flats_distributed(
                                 "int64").copy()
                 amap = (dict(zip(list(r.olds), list(r.news)))
                         if r.olds is not None else {})
-                for l in np.unique(labels[labels > 0]).tolist():
-                    labels[labels == l] = amap.get(int(l), 0)
+                # vectorized remap (a per-label boolean mask pass is
+                # O(#labels x cells) — quadratic on label-rich tiles)
+                uniq, inv = np.unique(labels, return_inverse=True)
+                lut = np.array(
+                    [amap.get(int(u), 0) if u > 0 else 0
+                     for u in uniq.tolist()], dtype=np.int64)
+                labels = lut[inv].reshape(labels.shape)
                 for f in _STATE_SCHEMA.fields:
                     if f.name == "labels":
                         out[f.name].append(pack(labels))
@@ -564,15 +569,19 @@ def resolve_flats_distributed(
         for pdf in it:
             tx, ty, la, lv = [], [], [], []
             for r in pdf.itertuples():
-                labels = unpack(r.labels, r.height, r.width, "int64")
-                ad = unpack(r.dist, r.height, r.width, "int64")
-                m = (labels > 0) & (ad < _IMAX)
-                for l in np.unique(labels[labels > 0]).tolist():
-                    sel = m & (labels == l)
-                    tx.append(r.tile_x)
-                    ty.append(r.tile_y)
-                    la.append(int(l))
-                    lv.append(int(ad[sel].max()) if sel.any() else -1)
+                labels = unpack(r.labels, r.height, r.width,
+                                "int64").ravel()
+                ad = unpack(r.dist, r.height, r.width, "int64").ravel()
+                pos = labels > 0
+                lf, af = labels[pos], ad[pos]
+                uniq, inv = np.unique(lf, return_inverse=True)
+                hmax = np.full(uniq.size, -1, dtype=np.int64)
+                ok = af < _IMAX
+                np.maximum.at(hmax, inv[ok], af[ok])
+                tx.extend([r.tile_x] * uniq.size)
+                ty.extend([r.tile_y] * uniq.size)
+                la.extend(int(x) for x in uniq)
+                lv.extend(int(x) for x in hmax)
             yield pd.DataFrame({"tile_x": tx, "tile_y": ty,
                                 "flat": la, "h": lv})
 
@@ -624,9 +633,11 @@ def resolve_flats_distributed(
                     for s in r.fh_list:
                         if s["gh"] >= 0:
                             fhm[int(s["flat"])] = int(s["gh"])
-                fhv = np.zeros_like(labels)
-                for l in np.unique(labels[labels > 0]).tolist():
-                    fhv[labels == l] = fhm.get(int(l), 0)
+                uniq, inv = np.unique(labels, return_inverse=True)
+                lut = np.array(
+                    [fhm.get(int(u), 0) if u > 0 else 0
+                     for u in uniq.tolist()], dtype=np.int64)
+                fhv = lut[inv].reshape(labels.shape)
                 # same formula as kernels/flats.resolve_flats
                 mask = np.where(
                     twv > 0,
