@@ -1,15 +1,17 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by Arrow-batched pandas UDFs.
 
-PNG images decode for real — a pure-stdlib decoder (zlib inflate +
-per-row unfiltering; 8- and 16-bit gray/gray-alpha/RGB/RGBA, 8-bit
-palette with optional tRNS alpha, both non-interlaced and Adam7
-interlaced) plus a matching encoder for round-trip tests.  Other
-codecs (JPEG, audio, video) are absent from this container, so those
-decode paths
-raise ``NotImplementedError`` unless the deterministic fake decoder is
-selected; the Spark-side plumbing — schema, batch shape, partitioning,
-UDF signature — is identical either way."""
+PNG and baseline JPEG images decode for real — a pure-stdlib PNG
+decoder (zlib inflate + per-row unfiltering; 8- and 16-bit
+gray/gray-alpha/RGB/RGBA, 8-bit palette with optional tRNS alpha,
+non-interlaced and Adam7) and a numpy baseline-JFIF codec
+(:mod:`richdem_spark.jpeg`: SOF0, 4:4:4/4:2:2/4:2:0, restart markers),
+each with a matching encoder for round-trip tests.  Remaining codecs
+(progressive JPEG, compressed audio, video) are absent from this
+container, so those decode paths raise ``NotImplementedError`` unless
+the deterministic fake decoder is selected; the Spark-side plumbing —
+schema, batch shape, partitioning, UDF signature — is identical either
+way."""
 
 from __future__ import annotations
 
@@ -414,9 +416,16 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return np.tile(buf, reps)[: h * w * 3].reshape(h, w, 3)
     if payload[:8] == _PNG_SIG:
         return png_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import jpeg_decode
+
+        img = jpeg_decode(payload)
+        return (img if img.ndim == 3
+                else np.repeat(img[:, :, None], 3, axis=2))
     raise NotImplementedError(
-        "no codec for this format in this environment (PNG decodes "
-        "natively; pass fake=True for the deterministic test decoder)"
+        "no codec for this format in this environment (PNG and "
+        "baseline JPEG decode natively; pass fake=True for the "
+        "deterministic test decoder)"
     )
 
 

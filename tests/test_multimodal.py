@@ -291,3 +291,61 @@ def test_audio_feature_pipeline(spark):
         assert abs(f.rms - amp / np.sqrt(2)) < 0.01, i
         assert f.peak <= amp + 0.01
         assert 0 < f.zero_cross_rate < 0.5
+
+
+def test_jpeg_roundtrip_444_gray_420_restart():
+    import numpy as np
+
+    from richdem_spark.jpeg import jpeg_decode, jpeg_encode
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 4) % 256, (yy * 4) % 256,
+                    ((xx + yy) * 2) % 256], axis=-1).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quality=95))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 1.5
+
+    g = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    dg = jpeg_decode(jpeg_encode(g, quality=95))
+    assert dg.shape == g.shape
+    assert np.abs(dg.astype(int) - g.astype(int)).mean() < 1.5
+
+    # 4:2:0 exercises the decoder's chroma upsampling
+    d420 = jpeg_decode(jpeg_encode(img, quality=95, subsample=True))
+    assert d420.shape == img.shape
+    assert np.abs(d420.astype(int) - img.astype(int)).mean() < 4.0
+
+    # restart markers reset the DC predictors
+    drst = jpeg_decode(jpeg_encode(img, quality=95, restart=2))
+    np.testing.assert_array_equal(
+        drst, jpeg_decode(jpeg_encode(img, quality=95)))
+
+    # odd dimensions (partial MCUs)
+    odd = img[:33, :37]
+    dodd = jpeg_decode(jpeg_encode(odd, quality=90, subsample=True))
+    assert dodd.shape == odd.shape
+
+
+def test_jpeg_honest_errors_and_dispatch():
+    import numpy as np
+    import pytest as _pt
+
+    from richdem_spark.jpeg import jpeg_decode, jpeg_encode
+    from richdem_spark.multimodal import decode_image
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    enc = bytearray(jpeg_encode(img))
+    # flip SOF0 -> SOF2 (progressive): must raise, not mis-decode
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2
+    with _pt.raises(NotImplementedError, match="SOF"):
+        jpeg_decode(bytes(enc))
+
+    with _pt.raises(ValueError, match="SOI"):
+        jpeg_decode(b"not a jpeg")
+
+    # decode_image dispatches on the JPEG magic; grayscale widens to 3ch
+    g = (np.arange(256, dtype=np.uint8).reshape(16, 16))
+    out = decode_image(jpeg_encode(g, quality=95))
+    assert out.shape == (16, 16, 3)
