@@ -273,3 +273,52 @@ def test_convergence_telemetry(spark):
     assert m2["carve_rounds"] >= 1
     assert len(m2["carve_live_per_round"]) == m2["carve_rounds"]
     assert m2["carve_live_per_round"][-1] == 0
+
+
+def test_driver_edges_equal_distributed_edges(spark):
+    """The driver-side label-graph build (fill's below-threshold fast
+    path) must produce exactly the distributed edge pipeline's
+    (a, b) -> min(z) graph on random DEMs, ragged tilings, and NoData
+    holes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import richdem_spark.ops.fill as fm
+    from richdem_spark.tiles import raster_from_array
+
+    rng = np.random.default_rng(21)
+    for trial, (h, w, tw, th, nd) in enumerate([
+        (24, 24, 8, 8, None),
+        (30, 22, 7, 9, None),
+        (26, 26, 8, 8, -9999.0),
+    ]):
+        dem = np.round(rng.random((h, w)) * 20) / 2.0
+        if nd is not None:
+            dem[10:16, 9:14] = nd
+        tr = raster_from_array(spark, dem, tw, th, nodata=nd)
+        r1 = tr.df.mapInPandas(
+            fm._round1(tr.meta, "D8", None), fm._R1_SCHEMA).persist()
+
+        drv = fm._driver_edges(r1.select(*fm._PERIM_COLS).collect(),
+                               "D8")
+        # reduce driver edges to (a,b)->min(z) for comparison
+        red = {}
+        for a, b, z in drv:
+            k = (min(a, b), max(a, b))
+            red[k] = min(red.get(k, np.inf), z)
+
+        in_tile = r1.select(
+            F.explode(F.arrays_zip("edge_a", "edge_b", "edge_z"))
+            .alias("e")
+        ).select(F.col("e.edge_a").alias("a"),
+                 F.col("e.edge_b").alias("b"),
+                 F.col("e.edge_z").alias("z"))
+        dist = (in_tile.unionByName(
+                    fm._seam_edges_df(r1, tr.meta, "D8"))
+                .groupBy("a", "b").agg(F.min("z").alias("z"))).collect()
+        dist_red = {}
+        for r in dist:
+            k = (min(r.a, r.b), max(r.a, r.b))
+            dist_red[k] = min(dist_red.get(k, np.inf), r.z)
+        assert red == dist_red, f"trial {trial}: edge graphs differ"
+        r1.unpersist()
