@@ -438,9 +438,11 @@ def flow_accumulation_mfd(
                     out["okind"].append([int(k) for k in kinds])
                 yield pd.DataFrame(out)
 
-        # localCheckpoint truncates lineage so the plan stays flat
+        # lazy localCheckpoint truncates lineage; the NEXT round's
+        # n_out agg (or the final output read) is the action that
+        # materializes it — one job per round instead of two
         state = joined.mapInPandas(step, _STATE_SCHEMA) \
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
 
     if metrics is not None:
         metrics["rounds"] = rounds_done
