@@ -40,8 +40,13 @@ from ..kernels.d8 import d8_flow_accum, exit_cell_of
 from ..tiles import TILE_SCHEMA, RasterMeta, TiledRaster, pack, unpack
 
 # graphs at most this big are solved on the driver; larger ones run
-# as a single-partition executor job (tests patch this down)
-DRIVER_SOLVE_MAX_PERIM = 2_000_000
+# as a single-partition executor job (tests patch this down) — see
+# ops/fill.py for the placement math (driver-capacity bound, measured
+# 2x cheaper than the executor hop below it)
+import os as _os
+
+DRIVER_SOLVE_MAX_PERIM = int(_os.environ.get(
+    "SPARK_GRAFT_DRIVER_SOLVE_MAX", 16_000_000))
 
 _R1_SCHEMA = StructType(
     [

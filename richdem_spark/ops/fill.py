@@ -80,9 +80,19 @@ _R1_SCHEMA = StructType(
     ]
 )
 
-# graphs at most this big are solved on the driver; larger ones run
-# as a single-partition executor job (tests patch this down)
-DRIVER_SOLVE_MAX_PERIM = 2_000_000
+# Graphs at most this big are solved on the driver; larger ones run as
+# a single-partition executor job (tests patch this down).  Placement
+# math, not feasibility: a perimeter cell carries ~100 B of strips +
+# edge rows, so 16 M cells ≈ 1.6 GB against the 24 GB driver — while
+# the executor path pays a repartition(1) shuffle of the same bytes
+# plus a single-threaded Arrow/Python hop, measured 2x the whole-job
+# cost at the 16384²/t512 boundary (BASELINE.md round-5 correction).
+# Above the limit the executor path is still the only O(perimeter)
+# placement that avoids the driver heap.
+import os as _os
+
+DRIVER_SOLVE_MAX_PERIM = int(_os.environ.get(
+    "SPARK_GRAFT_DRIVER_SOLVE_MAX", 16_000_000))
 
 _EDGE_SCHEMA = StructType(
     [

@@ -16,9 +16,12 @@ from typing import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-# same bound as ops/fill.py: ~2M perimeter cells is a few tens of MB of
-# seam rows — trivially driver-sized; beyond it, executor-solve
-DRIVER_SOLVE_MAX_ROWS = 2_000_000
+# same bound as ops/fill.py: driver-capacity placement (16 M seam rows
+# ≈ low GB against the 24 GB driver); beyond it, executor-solve
+import os as _os
+
+DRIVER_SOLVE_MAX_ROWS = int(_os.environ.get(
+    "SPARK_GRAFT_DRIVER_SOLVE_MAX", 16_000_000))
 
 
 def two_level_solve(

@@ -11,7 +11,11 @@ def get_spark(
     app: str = "richdem_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
+    """``extra_conf`` merges additional settings (e.g. executor memory
+    and env for ``local-cluster[...]`` masters, which launch real
+    separate executor JVMs — the multi-JVM scaling evidence path)."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     sp = int(shuffle_partitions or cpus)
@@ -19,8 +23,11 @@ def get_spark(
     # across tiles, not within; oversubscription thrashes at local[32]
     for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(v, "1")
+    b = SparkSession.builder.master(master)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     return (
-        SparkSession.builder.master(master)
+        b
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.adaptive.enabled", "true")

@@ -33,7 +33,7 @@ TILE = int(os.environ.get("SPARK_GRAFT_TILE", "256"))
 
 
 def run_job(cpus: int, out_npy: str, grid: int = GRID,
-            pages: int = N_PAGES) -> dict:
+            pages: int = N_PAGES, master: str = "") -> dict:
     sys.path.insert(0, REPO)
     import numpy as np
 
@@ -41,8 +41,18 @@ def run_job(cpus: int, out_npy: str, grid: int = GRID,
     from richdem_spark.session import get_spark
     from richdem_spark.webtext import geocode, rasterize_pages, synth_webtext
 
-    spark = get_spark(app=f"scale_bench_{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+    extra = {}
+    if master.startswith("local-cluster"):
+        # real separate executor JVMs: each gets its own heap, GC, and
+        # Python workers — the production executor shape
+        extra = {
+            "spark.executor.memory":
+                os.environ.get("SPARK_GRAFT_EXEC_MEM", "10g"),
+            "spark.executorEnv.PYTHONPATH": REPO,
+        }
+    spark = get_spark(app=f"scale_bench_{cpus}",
+                      master=master or f"local[{cpus}]",
+                      shuffle_partitions=cpus, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     pg = synth_webtext(spark, pages).persist()
@@ -247,10 +257,11 @@ def _decompose_main(n: int, kn: int) -> None:
     }))
 
 
-def _child(cpus: int, grid: int, pages: int, out_npy: str):
+def _child(cpus: int, grid: int, pages: int, out_npy: str,
+           master: str = ""):
     p = subprocess.run(
         [sys.executable, __file__, "--child", str(cpus), str(grid),
-         str(pages), out_npy],
+         str(pages), out_npy, master],
         capture_output=True, text=True, cwd=REPO,
     )
     line = [ln for ln in p.stdout.splitlines()
@@ -261,11 +272,71 @@ def _child(cpus: int, grid: int, pages: int, out_npy: str):
     return json.loads(line[0][len("CHILD_RESULT "):])
 
 
+def _multi_jvm_main(n: int, kn: int, reps: int) -> None:
+    """Weak/strong scaling with REAL separate executor JVMs
+    (``local-cluster[k,n,...]``): the round-5 decomposition measured
+    that most of the single-JVM weak-leg inflation is executor-sharing
+    (one heap/GC/Arrow lane for all cores); production weak-scaling
+    adds executors, it does not widen one JVM.  Base = 1 executor x n
+    cores; weak = k executors x n cores on 4x cells; strong = k
+    executors on the base input with a cell-identical output check
+    (the north rule's criterion).  Min of ``reps`` per leg."""
+    import numpy as np
+
+    k = kn // n
+    mem_mb = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "10240"))
+    m_base = f"local-cluster[1,{n},{mem_mb}]"
+    m_k = f"local-cluster[{k},{n},{mem_mb}]"
+
+    def best(leg_reps):
+        return min(leg_reps, key=lambda r: r["total_s"])
+
+    base_runs, strong_runs, weak_runs = [], [], []
+    for _ in range(reps):
+        base_runs.append(_child(n, GRID, N_PAGES,
+                                f"/tmp/mj_base_{n}.npy", master=m_base))
+        strong_runs.append(_child(kn, GRID, N_PAGES,
+                                  f"/tmp/mj_strong_{kn}.npy",
+                                  master=m_k))
+        weak_runs.append(_child(kn, GRID * 2, N_PAGES * 4, "",
+                                master=m_k))
+    identical = bool(np.array_equal(
+        np.load(f"/tmp/mj_base_{n}.npy"),
+        np.load(f"/tmp/mj_strong_{kn}.npy")))
+    b, s, w = best(base_runs), best(strong_runs), best(weak_runs)
+    print(json.dumps({
+        "metric": "multi-JVM scaling (rasterize+fill+accum), "
+                  f"{m_base} base -> {m_k} strong/weak, tile {TILE}, "
+                  f"min of {reps} reps per leg",
+        "base": b,
+        "strong": s,
+        "weak_4x_cells": w,
+        "identical_output": identical,
+        "strong_speedup": round(b["total_s"] / s["total_s"], 3),
+        "strong_efficiency": round(b["total_s"] / s["total_s"] / k, 3),
+        "weak_scaling_efficiency": round(
+            b["total_s"] / w["total_s"], 3),
+        "rep_totals": {
+            "base": [r["total_s"] for r in base_runs],
+            "strong": [r["total_s"] for r in strong_runs],
+            "weak": [r["total_s"] for r in weak_runs],
+        },
+    }))
+
+
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--child":
         res = run_job(int(sys.argv[2]), sys.argv[5],
-                      grid=int(sys.argv[3]), pages=int(sys.argv[4]))
+                      grid=int(sys.argv[3]), pages=int(sys.argv[4]),
+                      master=sys.argv[6] if len(sys.argv) > 6 else "")
         print("CHILD_RESULT " + json.dumps(res))
+        return
+    if len(sys.argv) >= 2 and sys.argv[1] == "--multi-jvm":
+        _multi_jvm_main(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 2,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 8,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 3,
+        )
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "--decompose-child":
         res = run_job_decomposed(int(sys.argv[2]), int(sys.argv[3]),
