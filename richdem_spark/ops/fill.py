@@ -401,9 +401,10 @@ def fill_depressions(
         meta.ntiles_x * meta.ntiles_y * 2 * (meta.tile_w + meta.tile_h)
     )
     if perim_estimate <= DRIVER_SOLVE_MAX_PERIM:
-        graph_elev = graph_priority_flood(
-            _driver_edges(r1.select(*_PERIM_COLS).collect(), topology)
-        )
+        # Arrow collect (see ops/accum.py) — the strips dominate bytes
+        perim = list(r1.select(*_PERIM_COLS).toPandas()
+                     .itertuples(index=False))
+        graph_elev = graph_priority_flood(_driver_edges(perim, topology))
         lvl_rows = [
             (int((l - 2) // stride), int(l), float(z))
             for l, z in graph_elev.items()
