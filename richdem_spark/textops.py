@@ -34,6 +34,22 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input-skew fix (optimization guide §2.5): a small
+    parquet file with one row group scans as ONE task, so everything up
+    to the first exchange (shingle explode, token hashing, map-side
+    partial aggregation) serializes on a single core.  Round-robin
+    repartition to the cluster parallelism when — and only when — the
+    source is under-parallel; at 100 TB the scan already has orders of
+    magnitude more partitions than cores and this is a no-op (no extra
+    exchange in the plan).  Project to the needed columns BEFORE calling
+    so only those bytes move (guide §2.3)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3, distinct: bool = True) -> DataFrame:
     """Word n-gram shingle table (id, shingle) — the primitive under
@@ -50,7 +66,8 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    out = df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    src = _spread(df.select(F.col(id_col), F.col(text_col)))
+    out = src.select(F.col(id_col), F.explode(grams).alias("shingle"))
     return out.distinct() if distinct else out
 
 
@@ -125,12 +142,16 @@ def minhash_lsh_pairs(sh: DataFrame, num_hashes: int = 8, bands: int = 4,
     ).where(F.size("docs") >= 2)
     if max_bucket_size is not None:
         buckets = buckets.where(F.size("docs") <= max_bucket_size)
+    # no distinct needed: a doc has exactly ONE bucket per band (its
+    # banded signature), so a pair (a, b) shares at most one bucket per
+    # band and (a, b, band) rows are unique by construction — the
+    # distinct would be a pure no-op exchange (guide §2.4: a distinct on
+    # data that is already unique)
     return (
         buckets.select("band", F.explode("docs").alias("a"), "docs")
         .select("band", "a", F.explode("docs").alias("b"))
         .where(F.col("a") < F.col("b"))
         .select("a", "b", "band")
-        .distinct()
     )
 
 
@@ -192,26 +213,39 @@ def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
 
     The guard is not silent: :func:`ngram_guard_metrics` reports the
     stop-shingles and posting rows the same cap drops."""
+    from pyspark.sql.window import Window
+
     postings = sh.groupBy("shingle").agg(
         F.collect_set(F.col(id_col)).alias("ids")
     )
     if max_doc_freq is not None:
         postings = postings.where(F.size("ids") <= max_doc_freq)
-    sizes = postings.select(
-        F.explode("ids").alias(id_col)
-    ).groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
+    # ONE pass over the posting lists computes BOTH the pair
+    # intersections and the per-doc set sizes: keeping the diagonal
+    # (a == b) in the pair explode makes count(a, a) = the number of
+    # filtered posting lists containing a = |shingles(a)| on the
+    # filtered universe — exactly the ``sizes`` table.  The previous
+    # formulation referenced the postings subtree three times (once for
+    # the intersections, once per join side of sizes), recomputing the
+    # full shingle explode + groupBy each time (guide §2.4/§1.2: the
+    # physical plan had 3 parquet scans and 5 exchanges for what is one
+    # aggregation tree).  The sizes are read back from the counts table
+    # with two windows (partition by a, then by b) instead of joins, so
+    # the plan is a single linear chain: scan -> shingle exchange ->
+    # pair exchange -> two small window exchanges.
+    counts = (
         postings.select(F.explode("ids").alias("a"), F.col("ids"))
         .select("a", F.explode("ids").alias("b"))
-        .where(F.col("a") < F.col("b"))
+        .where(F.col("a") <= F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    diag = F.when(F.col("a") == F.col("b"), F.col("i"))
     out = (
-        inter.join(sizes.withColumnRenamed(id_col, "a")
-                   .withColumnRenamed("sz", "sza"), "a")
-        .join(sizes.withColumnRenamed(id_col, "b")
-              .withColumnRenamed("sz", "szb"), "b")
+        counts
+        .withColumn("sza", F.max(diag).over(Window.partitionBy("a")))
+        .withColumn("szb", F.max(diag).over(Window.partitionBy("b")))
+        .where(F.col("a") < F.col("b"))
         .withColumn(
             "jaccard",
             F.round(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")),
@@ -245,28 +279,37 @@ def simhash64(df: DataFrame, text_col: str = "text",
     b of the fingerprint = sign of sum over tokens of (+1 if hash bit set
     else -1).  Expressed relationally (explode tokens x bits -> agg) so
     the oracle can reproduce it."""
+    # no _spread here: per-token hashing is cheap (unlike the shingle
+    # transform), and an interleaved A/B measured the extra exchange
+    # costing more than the parallelism buys at bench scale (0.45 vs
+    # 0.56 s median); at 100 TB the scan is already parallel
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     toks = toks.withColumn("th", h)
-    bit_rows = toks.select(
-        id_col, "th", F.explode(F.sequence(F.lit(0), F.lit(bits - 1)))
-        .alias("bit"),
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("(th >> bit) % 2") == 1, 1).otherwise(-1),
-    )
-    agg = bit_rows.groupBy(id_col, "bit").agg(
-        F.sum("contrib").alias("s")
-    )
-    return agg.groupBy(id_col).agg(
+    # per-bit contribution sums as ``bits`` aggregate expressions over
+    # the token rows instead of a bits-fold explode: the former plan
+    # shipped tokens x bits rows (16x the token table) through TWO
+    # aggregations ((id, bit) then id); this one map-side-aggregates the
+    # token table once and shuffles ``bits`` longs per doc through ONE
+    # exchange (guide §2.3 "aggregate before you shuffle" / §2.4).  The
+    # per-bit integer sums are identical, so the resulting fingerprint
+    # is bit-for-bit the same.
+    bit_sums = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)"))
-            .otherwise(0)
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"(th >> {b}) % 2") == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
