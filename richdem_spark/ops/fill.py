@@ -400,9 +400,11 @@ def fill_depressions(
     perim_estimate = (
         meta.ntiles_x * meta.ntiles_y * 2 * (meta.tile_w + meta.tile_h)
     )
-    if perim_estimate <= DRIVER_SOLVE_MAX_PERIM:
+    driver_solved = perim_estimate <= DRIVER_SOLVE_MAX_PERIM
+    zmin_of: dict[int, float] = {}
+    if driver_solved:
         # Arrow collect (see ops/accum.py) — the strips dominate bytes
-        perim = list(r1.select(*_PERIM_COLS).toPandas()
+        perim = list(r1.select(*_PERIM_COLS, "zmin").toPandas()
                      .itertuples(index=False))
         graph_elev = graph_priority_flood(_driver_edges(perim, topology))
         lvl_rows = [
@@ -410,6 +412,10 @@ def fill_depressions(
             for l, z in graph_elev.items()
             if l > 1 and z != -np.inf
         ]
+        zmin_of = {
+            int(r.tile_y) * ntx + int(r.tile_x): float(r.zmin)
+            for r in perim
+        }
         lvl_flat = (
             spark.createDataFrame(lvl_rows, lvl_schema)
             if lvl_rows else None
@@ -455,13 +461,40 @@ def fill_depressions(
         if lvl_flat.rdd.isEmpty():
             lvl_flat = None
 
-    lvl_df = (
-        lvl_flat
-        .groupBy("tid")
-        .agg(F.collect_list(F.struct("label", "level")).alias("levels"))
-        if lvl_flat is not None
-        else None
-    )
+    lvl_struct = ArrayType(StructType([StructField("label", LongType()),
+                                       StructField("level", DoubleType())]))
+    need_tids: list[int] | None = None
+    if driver_solved:
+        # the solve ran on the driver, so the per-tile level lists and
+        # the needs-raise tile set are already in hand — build both as
+        # literal DataFrames instead of re-deriving them from the r1
+        # cache (the former plan ran a groupBy job over lvl_flat plus a
+        # max/join/filter subtree over r1 for need_df: three extra
+        # broadcast-build jobs per fill at bench scale, each paying the
+        # full Python-stage floor; guide §1.2 — remove passes that
+        # recompute what the driver already knows)
+        if lvl_rows:
+            by_tid: dict[int, list] = {}
+            for tid_, lab_, lev_ in lvl_rows:
+                by_tid.setdefault(tid_, []).append((lab_, lev_))
+            lvl_df = spark.createDataFrame(
+                list(by_tid.items()),
+                StructType([StructField("tid", IntegerType(), False),
+                            StructField("levels", lvl_struct)]))
+            need_tids = [
+                t for t, v in by_tid.items()
+                if max(lv for _, lv in v) > zmin_of[t]
+            ]
+        else:
+            lvl_df = None
+    else:
+        lvl_df = (
+            lvl_flat
+            .groupBy("tid")
+            .agg(F.collect_list(F.struct("label", "level")).alias("levels"))
+            if lvl_flat is not None
+            else None
+        )
 
     r1k = r1.withColumn(
         "tid", (F.col("tile_y") * F.lit(ntx) + F.col("tile_x")).cast("int")
@@ -471,12 +504,21 @@ def fill_depressions(
     # some of its labels' water level exceeds the tile's minimum filled
     # elevation; ocean/unaffected tiles are forwarded JVM-side untouched
     passthrough = None
+    # JVM-side halo strips for the output: round 1 already packed the
+    # filled border rows/columns (elv_*), so the filled raster carries
+    # them as HALO_STRIP_COLS and downstream focal ops (flow dirs/accum,
+    # terrain attributes) skip the Python strip-emission pass entirely
+    # (tiles.halo_join JVM path)
+    strip_alias = [
+        F.col("elv_n").alias("hs_n"), F.col("elv_s").alias("hs_s"),
+        F.col("elv_w").alias("hs_w"), F.col("elv_e").alias("hs_e"),
+    ]
     if not epsilon:
         tile_cols = ["tile_x", "tile_y", "width", "height", "dtype",
                      "nodata", "data"]
         if lvl_df is None:
             return TiledRaster(
-                r1.select(*tile_cols),
+                r1.select(*tile_cols, *strip_alias),
                 meta.with_history(
                     f"fill_depressions(topology={topology}, "
                     f"epsilon={epsilon})"),
@@ -484,14 +526,19 @@ def fill_depressions(
         # pass-through fast path selection stays JVM-side: a tile needs
         # the Python raise pass only if some label's water level exceeds
         # the tile's minimum filled elevation
-        need_df = (
-            lvl_flat.groupBy("tid").agg(F.max("level").alias("mx"))
-            .join(r1k.select("tid", "zmin"), "tid")
-            .where(F.col("mx") > F.col("zmin"))
-            .select("tid")
-        )
+        if need_tids is not None:
+            need_df = spark.createDataFrame(
+                [(int(t),) for t in need_tids],
+                StructType([StructField("tid", IntegerType(), False)]))
+        else:
+            need_df = (
+                lvl_flat.groupBy("tid").agg(F.max("level").alias("mx"))
+                .join(r1k.select("tid", "zmin"), "tid")
+                .where(F.col("mx") > F.col("zmin"))
+                .select("tid")
+            )
         passthrough = r1k.join(F.broadcast(need_df), "tid",
-                               "left_anti").select(*tile_cols)
+                               "left_anti").select(*tile_cols, *strip_alias)
         r1k = r1k.join(F.broadcast(need_df), "tid", "left_semi")
 
     joined = (
@@ -504,13 +551,16 @@ def fill_depressions(
 
     eps = bool(epsilon)
 
+    from ..tiles import TILE_HALO_SCHEMA
+
     def round2(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.fill import priority_flood_fill
 
         for pdf in it:
             out = {k: [] for k in (
                 "tile_x", "tile_y", "width", "height",
-                "dtype", "nodata", "data")}
+                "dtype", "nodata", "data",
+                "hs_n", "hs_s", "hs_w", "hs_e")}
             for r in pdf.itertuples():
                 filled = unpack(
                     r.data, r.height, r.width, "float64"
@@ -543,9 +593,15 @@ def fill_depressions(
                 out["dtype"].append("float64")
                 out["nodata"].append(r.nodata)
                 out["data"].append(pack(filled))
+                out["hs_n"].append(pack(filled[0, :]))
+                out["hs_s"].append(pack(filled[-1, :]))
+                out["hs_w"].append(pack(np.ascontiguousarray(
+                    filled[:, 0])))
+                out["hs_e"].append(pack(np.ascontiguousarray(
+                    filled[:, -1])))
             yield pd.DataFrame(out)
 
-    out_df = joined.mapInPandas(round2, TILE_SCHEMA)
+    out_df = joined.mapInPandas(round2, TILE_HALO_SCHEMA)
     if passthrough is not None:
         out_df = out_df.unionByName(passthrough)
     new_meta = RasterMeta(

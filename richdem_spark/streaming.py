@@ -168,16 +168,21 @@ def run_incremental_rasterization_bucketed(
             return
         delta = rasterize_pages(
             geocode(batch_df), grid=grid, tile=tile, value="count")
+        # project to the core tile columns: rasterize_pages emits halo
+        # strip columns (tiles.HALO_STRIP_COLS) that the summed tiles
+        # would invalidate, and the re-read table may or may not carry
+        # them — the union must see one schema either way
+        cols = [f.name for f in TILE_SCHEMA.fields]
         if spark.catalog.tableExists(table):
             old = read_raster_table(spark, table)
             merged = TiledRaster(
-                old.df.unionByName(delta.df)
+                old.df.select(*cols).unionByName(delta.df.select(*cols))
                 .groupBy("tile_x", "tile_y")
                 .applyInPandas(_sum_tile_group, TILE_SCHEMA),
                 old.meta,
             )
         else:
-            merged = delta
+            merged = TiledRaster(delta.df.select(*cols), delta.meta)
         stage = f"{table}__stage"
         write_raster_table(merged, stage)
         spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -58,6 +58,21 @@ TILE_SCHEMA = StructType(
     ]
 )
 
+# Optional border-strip columns a producing kernel can emit alongside the
+# tile blob (N row, S row, W column, E column of ``data``, same dtype).
+# They cost microseconds to slice in a kernel that already holds the
+# array, and let :func:`halo_join` assemble the halo exchange entirely in
+# the JVM — no extra Python pass over every tile per focal op (guide
+# §1.2: remove passes).  Any op that MODIFIES data and does not re-emit
+# fresh strips must drop them; mapInPandas with plain TILE_SCHEMA output
+# does that automatically, so strips exist only where explicitly emitted.
+HALO_STRIP_COLS = ("hs_n", "hs_s", "hs_w", "hs_e")
+
+TILE_HALO_SCHEMA = StructType(
+    list(TILE_SCHEMA.fields)
+    + [StructField(c, BinaryType(), True) for c in HALO_STRIP_COLS]
+)
+
 
 @dataclass
 class RasterMeta:
@@ -428,6 +443,52 @@ def assemble_padded(
     return padded, pt, pl
 
 
+def _jvm_halo_strips(df: DataFrame, meta: RasterMeta) -> DataFrame:
+    """Strip table (receiver tile, slot, strip) from carried border-strip
+    columns — pure JVM codegen: one scan of the small strip columns, one
+    explode; the tile blobs are never read and no Python stage runs.
+    Matches :func:`_emit_halo_strips` piece-for-piece: N/S rows are the
+    carried strips, corners are single-element binary substrings."""
+    isz = np.dtype(meta.dtype).itemsize
+    ntx, nty = meta.ntiles_x, meta.ntiles_y
+
+    def first(col: str):
+        return F.expr(f"substring({col}, 1, {isz})")
+
+    def last(col: str):
+        return F.expr(f"substring({col}, (width - 1) * {isz} + 1, {isz})")
+
+    # (slot, dx, dy, piece): receiver = me + (dx, dy); slot = position of
+    # my piece relative to the receiver (reference D8 numbering)
+    entries = [
+        (3, 0, 1, F.col("hs_s")),
+        (7, 0, -1, F.col("hs_n")),
+        (1, 1, 0, F.col("hs_e")),
+        (5, -1, 0, F.col("hs_w")),
+        (2, 1, 1, last("hs_s")),
+        (4, -1, 1, first("hs_s")),
+        (8, 1, -1, last("hs_n")),
+        (6, -1, -1, first("hs_n")),
+    ]
+    pieces = F.array(*[
+        F.struct(
+            (F.col("tile_x") + dx).alias("tile_x"),
+            (F.col("tile_y") + dy).alias("tile_y"),
+            F.lit(slot).alias("slot"),
+            strip.alias("strip"),
+        )
+        for slot, dx, dy, strip in entries
+    ])
+    return (
+        df.select(F.explode(pieces).alias("p"))
+        .select("p.tile_x", "p.tile_y", "p.slot", "p.strip")
+        .where(
+            (F.col("tile_x") >= 0) & (F.col("tile_x") < ntx)
+            & (F.col("tile_y") >= 0) & (F.col("tile_y") < nty)
+        )
+    )
+
+
 def halo_join(tr: TiledRaster) -> DataFrame:
     """Tile rows augmented with a ``halo`` array column of (slot, strip)
     structs.  ONE shuffle of O(perimeter) strip data; the tile interiors
@@ -447,7 +508,10 @@ def halo_join(tr: TiledRaster) -> DataFrame:
       tile-blob side.  tests/test_halo_plan.py asserts this.
     """
     meta = tr.meta
-    strips = tr.df.mapInPandas(_emit_halo_strips(tr.meta), _HALO_SCHEMA)
+    if set(HALO_STRIP_COLS).issubset(tr.df.columns):
+        strips = _jvm_halo_strips(tr.df, meta)
+    else:
+        strips = tr.df.mapInPandas(_emit_halo_strips(tr.meta), _HALO_SCHEMA)
     packed = strips.groupBy("tile_x", "tile_y").agg(
         F.collect_list(F.struct("slot", "strip")).alias("halo")
     )

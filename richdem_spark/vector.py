@@ -33,11 +33,19 @@ def cosine_topk(
     """Exact top-k cosine neighbours for a probe set: broadcast the probes
     against the full table, window-rank per probe.  The brute-force
     baseline for ANN."""
+    # norms are computed ONCE per row on each side before the cross
+    # join: the interpreted aggregate() fold over the vector is the
+    # per-row unit of cost here, and inlining _norm in the join output
+    # re-evaluated it per (cand, probe) pair — 3 folds per pair instead
+    # of 1 (guide §1.2 per-task work).  sqrt(dot(v, v)) is evaluated
+    # identically, just earlier, so cosine values are bit-equal.
     probes = df.where(F.col(id_col).isin(list(probe_ids))).select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"),
+        _norm(F.col(vec_col)).alias("pnorm"),
     )
     cand = df.select(F.col(id_col).alias("cand_id"),
-                     F.col(vec_col).alias("cvec"))
+                     F.col(vec_col).alias("cvec"),
+                     _norm(F.col(vec_col)).alias("cnorm"))
     sims = (
         cand.crossJoin(F.broadcast(probes))
         .where(F.col("cand_id") != F.col("probe_id"))
@@ -45,7 +53,7 @@ def cosine_topk(
             "cosine",
             F.round(
                 _dot(F.col("pvec"), F.col("cvec"))
-                / (_norm(F.col("pvec")) * _norm(F.col("cvec"))),
+                / (F.col("pnorm") * F.col("cnorm")),
                 6,
             ),
         )

@@ -1,0 +1,72 @@
+"""Round-6 optimization: producers (rasterize, fill) carry border-strip
+columns so halo_join assembles the halo exchange in the JVM instead of a
+Python pass over every tile.  These tests pin the equivalence: the JVM
+strip path must be byte-identical to the Python emission path on every
+downstream focal consumer."""
+
+import numpy as np
+import pytest
+
+from richdem_spark.api import FillDepressions, TerrainAttribute
+from richdem_spark.ops.accum import flow_accumulation_d8_from_elev
+from richdem_spark.tiles import HALO_STRIP_COLS, TILE_SCHEMA, TiledRaster
+from richdem_spark.webtext import geocode, rasterize_pages, synth_webtext
+
+
+@pytest.fixture(scope="module")
+def dem(spark):
+    pages = synth_webtext(spark, 4000)
+    return rasterize_pages(geocode(pages), grid=96, tile=32)
+
+
+def _strip_cols(tr: TiledRaster) -> TiledRaster:
+    """Drop the carried strips, forcing halo_join's Python path."""
+    cols = [f.name for f in TILE_SCHEMA.fields]
+    return TiledRaster(tr.df.select(*cols), tr.meta)
+
+
+def test_rasterize_carries_strips(dem):
+    assert set(HALO_STRIP_COLS).issubset(dem.df.columns)
+    for r in dem.df.collect():
+        a = np.frombuffer(r.data, dtype=np.float64).reshape(
+            r.height, r.width)
+        assert np.array_equal(
+            np.frombuffer(r.hs_n, dtype=np.float64), a[0, :])
+        assert np.array_equal(
+            np.frombuffer(r.hs_s, dtype=np.float64), a[-1, :])
+        assert np.array_equal(
+            np.frombuffer(r.hs_w, dtype=np.float64), a[:, 0])
+        assert np.array_equal(
+            np.frombuffer(r.hs_e, dtype=np.float64), a[:, -1])
+
+
+def test_fill_output_carries_strips(dem):
+    filled = FillDepressions(dem)
+    assert set(HALO_STRIP_COLS).issubset(filled.df.columns)
+    for r in filled.df.collect():
+        a = np.frombuffer(r.data, dtype=np.float64).reshape(
+            r.height, r.width)
+        assert np.array_equal(
+            np.frombuffer(r.hs_n, dtype=np.float64), a[0, :])
+        assert np.array_equal(
+            np.frombuffer(r.hs_e, dtype=np.float64), a[:, -1])
+
+
+def test_jvm_halo_equals_python_halo_slope(dem):
+    jvm = TerrainAttribute(dem, "slope_riserun").to_array()
+    py = TerrainAttribute(_strip_cols(dem), "slope_riserun").to_array()
+    assert np.array_equal(jvm, py)
+
+
+def test_jvm_halo_equals_python_halo_accum(dem):
+    filled = FillDepressions(dem)
+    jvm = flow_accumulation_d8_from_elev(filled).to_array()
+    py = flow_accumulation_d8_from_elev(_strip_cols(filled)).to_array()
+    assert np.array_equal(jvm, py)
+
+
+def test_jvm_halo_equals_python_halo_eps_fill(dem):
+    """Multi-tile epsilon fill routes through dirs + flats halo ops."""
+    jvm = FillDepressions(dem, epsilon=True).to_array()
+    py = FillDepressions(_strip_cols(dem), epsilon=True).to_array()
+    assert np.array_equal(jvm, py)

@@ -97,3 +97,31 @@ def test_lsh_bucket_cap_and_jaccard_docfreq(spark):
     assert {(r.a, r.b) for r in jc} == {(100, 101)}
     full = ngram_jaccard_pairs(sh, threshold=0.5).count()
     assert full == 15 + 1
+
+
+def test_vectorized_generation_matches_scalar_construction(spark):
+    """Round-6: synth_webtext assembles html/text vectorized; every byte
+    must equal the frozen scalar render_html + extract_text pair."""
+    from richdem_spark.webtext import _LANGS, _WORDS, _mix
+
+    rows = synth_webtext(spark, 400, seed=42).collect()
+    by_id = {int(r.url.rsplit("/", 1)[1]): r for r in rows}
+    ids = np.array(sorted(by_id), dtype=np.uint64)
+    lat, lon = page_coords(ids, 42)
+    lang_ix = (_mix(ids, 48) % np.uint64(len(_LANGS))).astype(int)
+    nwords = 8 + (_mix(ids, 49) % np.uint64(40)).astype(int)
+    warr = np.array(_WORDS)
+    for k, i in enumerate(ids):
+        with np.errstate(over="ignore"):
+            wix = [
+                int(_mix(np.array([i * np.uint64(64) + np.uint64(j)],
+                                  dtype=np.uint64), 51)[0]
+                    % np.uint64(len(_WORDS)))
+                for j in range(int(nwords[k]))
+            ]
+        url = f"https://site{int(i) % 997}.example.com/page/{int(i)}"
+        html = render_html(url, float(lat[k]), float(lon[k]),
+                           _LANGS[lang_ix[k]], warr[wix].tolist())
+        r = by_id[int(i)]
+        assert bytes(r.html) == html
+        assert r.text == extract_text(html)
