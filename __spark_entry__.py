@@ -280,7 +280,8 @@ def _add_cell_eps(tr, scale: float):
     """Add ``(gy*FG + gx) * scale`` to every cell — the deterministic
     per-cell epsilon shared bit-for-bit with the DuckDB oracles (both
     sides run the identical IEEE-double expression)."""
-    from richdem_spark.tiles import TILE_SCHEMA, TiledRaster, pack, unpack
+    from richdem_spark.tiles import TILE_HALO_SCHEMA, TiledRaster, pack, \
+        unpack
 
     tw, th = tr.meta.tile_w, tr.meta.tile_h
 
@@ -290,7 +291,8 @@ def _add_cell_eps(tr, scale: float):
 
         for pdf in it:
             rows = {k: [] for k in ("tile_x", "tile_y", "width",
-                                    "height", "dtype", "nodata", "data")}
+                                    "height", "dtype", "nodata", "data",
+                                    "hs_n", "hs_s", "hs_w", "hs_e")}
             for r in pdf.itertuples():
                 a = unpack(r.data, r.height, r.width, r.dtype).copy()
                 yy, xx = np.mgrid[0:r.height, 0:r.width]
@@ -304,9 +306,15 @@ def _add_cell_eps(tr, scale: float):
                 rows["dtype"].append("float64")
                 rows["nodata"].append(None)
                 rows["data"].append(pack(a))
+                # border strips ride along -> downstream halo_join stays
+                # JVM-only (tiles.HALO_STRIP_COLS); values unchanged
+                rows["hs_n"].append(pack(a[0, :]))
+                rows["hs_s"].append(pack(a[-1, :]))
+                rows["hs_w"].append(pack(np.ascontiguousarray(a[:, 0])))
+                rows["hs_e"].append(pack(np.ascontiguousarray(a[:, -1])))
             yield pd.DataFrame(rows)
 
-    return TiledRaster(tr.df.mapInPandas(addeps, TILE_SCHEMA), tr.meta)
+    return TiledRaster(tr.df.mapInPandas(addeps, TILE_HALO_SCHEMA), tr.meta)
 
 
 def _fill_grid(spark, sf_dir):

@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 
 from ..tiles import (
+    TILE_HALO_SCHEMA,
     TILE_SCHEMA,
     RasterMeta,
     TiledRaster,
@@ -25,6 +26,16 @@ from ..tiles import (
     pack,
     unpack,
 )
+
+
+def _emit_strips(rows: dict, arr: np.ndarray) -> None:
+    """Append the four border strips of ``arr`` to an output-row dict —
+    producers carry them so downstream halo_join stays JVM-only
+    (tiles.HALO_STRIP_COLS)."""
+    rows["hs_n"].append(pack(arr[0, :]))
+    rows["hs_s"].append(pack(arr[-1, :]))
+    rows["hs_w"].append(pack(np.ascontiguousarray(arr[:, 0])))
+    rows["hs_e"].append(pack(np.ascontiguousarray(arr[:, -1])))
 
 
 def apply_focal(
@@ -55,7 +66,8 @@ def apply_focal(
         for pdf in it:
             rows = {k: [] for k in
                     ("tile_x", "tile_y", "width", "height",
-                     "dtype", "nodata", "data")}
+                     "dtype", "nodata", "data",
+                     "hs_n", "hs_s", "hs_w", "hs_e")}
             for r in pdf.itertuples():
                 core = unpack(r.data, r.height, r.width, r.dtype)
                 strips = (
@@ -92,12 +104,12 @@ def apply_focal(
                 rows["height"].append(r.height)
                 rows["dtype"].append(out_dtype)
                 rows["nodata"].append(out_nodata)
-                rows["data"].append(
-                    pack(core_out.astype(np.dtype(out_dtype)))
-                )
+                packed_out = core_out.astype(np.dtype(out_dtype))
+                rows["data"].append(pack(packed_out))
+                _emit_strips(rows, packed_out)
             yield pd.DataFrame(rows)
 
-    out_df = halo_join(tr).mapInPandas(run, TILE_SCHEMA)
+    out_df = halo_join(tr).mapInPandas(run, TILE_HALO_SCHEMA)
     new_meta = RasterMeta(
         width=meta.width, height=meta.height,
         tile_w=meta.tile_w, tile_h=meta.tile_h,
@@ -125,7 +137,8 @@ def elementwise(
         for pdf in it:
             rows = {k: [] for k in
                     ("tile_x", "tile_y", "width", "height",
-                     "dtype", "nodata", "data")}
+                     "dtype", "nodata", "data",
+                     "hs_n", "hs_s", "hs_w", "hs_e")}
             for r in pdf.itertuples():
                 a = unpack(r.data, r.height, r.width, r.dtype)
                 out = fn(a).astype(np.dtype(odt))
@@ -136,9 +149,10 @@ def elementwise(
                 rows["dtype"].append(odt)
                 rows["nodata"].append(ond)
                 rows["data"].append(pack(out))
+                _emit_strips(rows, out)
             yield pd.DataFrame(rows)
 
-    out_df = tr.df.mapInPandas(run, TILE_SCHEMA)
+    out_df = tr.df.mapInPandas(run, TILE_HALO_SCHEMA)
     m = tr.meta
     new_meta = RasterMeta(
         width=m.width, height=m.height, tile_w=m.tile_w, tile_h=m.tile_h,
@@ -173,7 +187,8 @@ def combine_tiles(
         for pdf in it:
             rows = {k: [] for k in
                     ("tile_x", "tile_y", "width", "height",
-                     "dtype", "nodata", "data")}
+                     "dtype", "nodata", "data",
+                     "hs_n", "hs_s", "hs_w", "hs_e")}
             for r in pdf.itertuples():
                 va = unpack(r.data, r.height, r.width, r.dtype)
                 vb = unpack(r.data_b, r.height, r.width, r.dtype_b)
@@ -185,9 +200,10 @@ def combine_tiles(
                 rows["dtype"].append(out_dtype)
                 rows["nodata"].append(out_nodata)
                 rows["data"].append(pack(out))
+                _emit_strips(rows, out)
             yield pd.DataFrame(rows)
 
-    out_df = joined.mapInPandas(run, TILE_SCHEMA)
+    out_df = joined.mapInPandas(run, TILE_HALO_SCHEMA)
     m = a.meta
     new_meta = RasterMeta(
         width=m.width, height=m.height, tile_w=m.tile_w, tile_h=m.tile_h,
