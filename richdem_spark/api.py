@@ -64,9 +64,19 @@ def FillDepressions(
             op_name="d4_flow_directions",
         )
     dirs.df.persist()
-    mask, labels = resolve_flats_distributed(
-        filled, dirs, topology=topology)
-    return alter_dem_distributed(filled, mask, labels)
+    try:
+        mask, labels = resolve_flats_distributed(
+            filled, dirs, topology=topology)
+        out = alter_dem_distributed(filled, mask, labels)
+        # materialize while the inputs are still cached, then release
+        # them — repeated FillDepressions calls in one session otherwise
+        # accumulate orphaned cached blocks in executor storage
+        out.df.persist()
+        out.df.count()
+        return out
+    finally:
+        filled.df.unpersist()
+        dirs.df.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -50,22 +50,35 @@ def parse_layoutfile(layout_path: str) -> list[list[str | None]]:
     """CSV grid of tile filenames; blanks -> None; paths resolved
     relative to the layout file (Layoutfile.hpp:57-63)."""
     base = os.path.dirname(os.path.abspath(layout_path))
-    grid: list[list[str | None]] = []
+    raw: list[list[str]] = []
     with open(layout_path) as f:
         for line in f:
-            if not line.strip() and not grid:
-                continue
-            row = [c.strip() for c in line.rstrip("\n").split(",")]
-            # a fully-empty trailing line is not a row of blanks
-            if not any(row):
-                continue
-            grid.append([os.path.join(base, c) if c else None
-                         for c in row])
-    if not grid:
+            raw.append([c.strip() for c in line.rstrip("\n").split(",")])
+    # leading/trailing fully-blank lines are file formatting, not rows;
+    # an INTERIOR blank line is a row of blank slots — skipping it would
+    # silently shift every following tile row up one grid row (the
+    # reference's LayoutfileReader keeps every line as a grid row)
+    while raw and not any(raw[0]):
+        raw.pop(0)
+    while raw and not any(raw[-1]):
+        raw.pop()
+    if not raw:
         raise ValueError(f"empty layout file {layout_path}")
-    ncols = max(len(r) for r in grid)
-    for r in grid:
-        r.extend([None] * (ncols - len(r)))
+    ncols = max(len(r) for r in raw)
+    grid: list[list[str | None]] = []
+    for r in raw:
+        if not any(r):
+            grid.append([None] * ncols)
+            continue
+        # a trailing comma-less cell is tolerated (pad one); anything
+        # shorter is malformed, matching the reference's "rows not same
+        # number of columns" error rather than silently padding
+        if len(r) < ncols - 1:
+            raise ValueError(
+                f"layout rows do not have the same number of columns "
+                f"in {layout_path}")
+        grid.append([os.path.join(base, c) if c else None for c in r]
+                    + [None] * (ncols - len(r)))
     return grid
 
 

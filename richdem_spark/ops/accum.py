@@ -45,8 +45,12 @@ from ..tiles import TILE_SCHEMA, RasterMeta, TiledRaster, pack, unpack
 # 2x cheaper than the executor hop below it)
 import os as _os
 
-DRIVER_SOLVE_MAX_PERIM = int(_os.environ.get(
-    "SPARK_GRAFT_DRIVER_SOLVE_MAX", 16_000_000))
+# env override wins; None -> derived from the session's driver heap at
+# call time (ops/solve.py:driver_solve_max)
+DRIVER_SOLVE_MAX_PERIM = (
+    int(_os.environ["SPARK_GRAFT_DRIVER_SOLVE_MAX"])
+    if "SPARK_GRAFT_DRIVER_SOLVE_MAX" in _os.environ else None
+)
 
 _R1_SCHEMA = StructType(
     [
@@ -438,7 +442,9 @@ def _finish_accumulation(r1, meta: RasterMeta, spark) -> TiledRaster:
     perim_estimate = (
         meta.ntiles_x * meta.ntiles_y * 2 * (meta.tile_w + meta.tile_h)
     )
-    if perim_estimate <= DRIVER_SOLVE_MAX_PERIM:
+    from .solve import driver_solve_max
+
+    if perim_estimate <= driver_solve_max(spark, DRIVER_SOLVE_MAX_PERIM):
         # Arrow collect: the perimeter rows carry ~128 KB of packed
         # strips per tile (134 MB at 1024 tiles); toPandas moves them
         # in Arrow batches — interleaved reps measured ~0.4 s vs

@@ -91,8 +91,13 @@ _R1_SCHEMA = StructType(
 # placement that avoids the driver heap.
 import os as _os
 
-DRIVER_SOLVE_MAX_PERIM = int(_os.environ.get(
-    "SPARK_GRAFT_DRIVER_SOLVE_MAX", 16_000_000))
+# env override wins; None -> derived from the session's driver heap at
+# call time (ops/solve.py:driver_solve_max — ADVICE r5: don't hard-code
+# the bench container's 24 GB capacity)
+DRIVER_SOLVE_MAX_PERIM = (
+    int(_os.environ["SPARK_GRAFT_DRIVER_SOLVE_MAX"])
+    if "SPARK_GRAFT_DRIVER_SOLVE_MAX" in _os.environ else None
+)
 
 _EDGE_SCHEMA = StructType(
     [
@@ -400,7 +405,10 @@ def fill_depressions(
     perim_estimate = (
         meta.ntiles_x * meta.ntiles_y * 2 * (meta.tile_w + meta.tile_h)
     )
-    driver_solved = perim_estimate <= DRIVER_SOLVE_MAX_PERIM
+    from .solve import driver_solve_max
+
+    driver_solved = perim_estimate <= driver_solve_max(
+        spark, DRIVER_SOLVE_MAX_PERIM)
     zmin_of: dict[int, float] = {}
     if driver_solved:
         # Arrow collect (see ops/accum.py) — the strips dominate bytes

@@ -16,12 +16,46 @@ from typing import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-# same bound as ops/fill.py: driver-capacity placement (16 M seam rows
-# ≈ low GB against the 24 GB driver); beyond it, executor-solve
+# driver-capacity placement bound: env override wins; otherwise derived
+# from the session's actual driver heap at call time (ADVICE r5: the old
+# hard-coded 16 M was tuned to this container's 24 GB driver and would
+# OOM a typical 1-4 GB production driver in the 2-16 M perimeter range)
 import os as _os
 
-DRIVER_SOLVE_MAX_ROWS = int(_os.environ.get(
-    "SPARK_GRAFT_DRIVER_SOLVE_MAX", 16_000_000))
+DRIVER_SOLVE_MAX_ROWS = (
+    int(_os.environ["SPARK_GRAFT_DRIVER_SOLVE_MAX"])
+    if "SPARK_GRAFT_DRIVER_SOLVE_MAX" in _os.environ else None
+)
+
+
+def _mem_bytes(s: str) -> int:
+    s = str(s).strip().lower()
+    for u, f in (("k", 2**10), ("m", 2**20), ("g", 2**30), ("t", 2**40),
+                 ("b", 1)):
+        if s.endswith(u):
+            return int(float(s[:-1]) * f)
+    return int(s)
+
+
+def derived_driver_solve_max(spark) -> int:
+    """Perimeter-row budget for the driver-side solve: ~100 B of strip
+    and edge payload per perimeter cell, held to ~1/15 of the driver
+    heap — ~17 M rows on this sandbox's 24 GB driver (matching the
+    measured round-5 bound), ~1.4 M on a 2 GB production default."""
+    try:
+        mem = spark.conf.get("spark.driver.memory", None)
+    except Exception:
+        mem = None
+    if not mem:
+        mem = "2g"
+    return max(1_000_000, _mem_bytes(mem) // 1500)
+
+
+def driver_solve_max(spark, override) -> int:
+    """Resolve the bound: explicit/env override (including a test's
+    patched 0) wins, else the heap-derived default."""
+    return override if override is not None \
+        else derived_driver_solve_max(spark)
 
 
 def two_level_solve(
@@ -41,7 +75,7 @@ def two_level_solve(
     tests can force the executor path by patching it."""
     spark = df.sparkSession
     if driver_max_rows is None:
-        driver_max_rows = DRIVER_SOLVE_MAX_ROWS
+        driver_max_rows = driver_solve_max(spark, DRIVER_SOLVE_MAX_ROWS)
     if est_rows <= driver_max_rows:
         out = solve_fn(df.collect())
         return spark.createDataFrame(out or [], out_schema)

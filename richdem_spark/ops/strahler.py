@@ -146,7 +146,16 @@ def strahler_order_tiled(
     per-round changed-tile counts."""
     meta = dirs.meta
     if max_rounds is None:
-        max_rounds = 4 * (meta.ntiles_x + meta.ntiles_y) + 8
+        # rounds needed = max number of tile-seam CROSSINGS along one
+        # flow path; a meandering path may recross a single seam many
+        # times, so the grid diameter is NOT a bound.  On an acyclic
+        # direction field a path never revisits a cell, so crossings
+        # are bounded by the total seam-cell count — use that (+slack)
+        # and only then declare a cross-tile cycle.
+        max_rounds = (
+            2 * meta.ntiles_x * meta.ntiles_y
+            * (meta.tile_w + meta.tile_h) + 8
+        )
 
     state = dirs.df.select(
         "tile_x", "tile_y",

@@ -112,6 +112,66 @@ def _argmin_cell(vec_col, centroids):
     return cell
 
 
+# --- batch-numpy twins of the interpreted HOF expressions ----------------
+# Spark's higher-order functions (zip_with/aggregate) are interpreted, not
+# codegen'd: the k-centroid assignment evaluated ~k*d lambda calls PER ROW
+# and dominated both Lloyd training and the probe query (measured 14 s
+# train / 7 s query on 2000x64 at k=8 — pure expression interpretation).
+# These twins hand whole Arrow batches to numpy (guide §4.2) and replicate
+# the JVM fold ORDER exactly — squared distances accumulate dim-by-dim
+# left-to-right, argmin updates on strict less-than (ties keep the lowest
+# index) — so cell assignments and cosines are bit-identical.
+
+
+def _np_cell_dists(V, centroids):
+    import numpy as np
+
+    out = np.empty((V.shape[0], len(centroids)))
+    for i, c in enumerate(centroids):
+        acc = np.zeros(V.shape[0])
+        for d0 in range(len(c)):
+            diff = V[:, d0] - c[d0]
+            acc = acc + diff * diff
+        out[:, i] = acc
+    return out
+
+
+def _np_argmin_cells(D):
+    import numpy as np
+
+    best = D[:, 0].copy()
+    cell = np.zeros(D.shape[0], dtype=np.int32)
+    for i in range(1, D.shape[1]):
+        better = D[:, i] < best
+        cell[better] = i
+        best = np.where(better, D[:, i], best)
+    return cell
+
+
+def _assign_cells(df: DataFrame, centroids, id_col: str, vec_col: str):
+    """(id, vec, cell) via one vectorized mapInPandas pass."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    import numpy as np
+
+    C = [[float(x) for x in c] for c in centroids]
+    src = df.select(id_col, vec_col)
+    schema = StructType(list(src.schema.fields)
+                        + [StructField("cell", IntegerType())])
+
+    def run(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cell = _np_argmin_cells(_np_cell_dists(V, C))
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                vec_col: pdf[vec_col], "cell": cell})
+
+    return src.mapInPandas(run, schema)
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_centroids: int = 8,
@@ -132,6 +192,9 @@ def train_ivf_centroids(
     table instead of ``iters`` full scans); cell ASSIGNMENT afterwards
     is still a single full scan in the caller.  ``None`` trains on the
     full table (the small-scale / oracle-exact configuration)."""
+    import numpy as np
+    import pandas as pd
+
     if sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=seed)
     init_rows = (
@@ -139,22 +202,55 @@ def train_ivf_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r[1]] for r in init_rows]
+    dim = len(centroids[0]) if centroids else 0
+    src = df.select(vec_col)
+    # each Lloyd iteration is ONE fused mapInPandas pass: assign every
+    # vector to its nearest centroid (numpy twin of _argmin_cell, same
+    # fold order) and emit per-partition per-cell (count, dim-sums)
+    # partials; the driver merges partials in partition order and takes
+    # the means.  The former plan evaluated the k*d interpreted-HOF
+    # assignment per row, exploded rows x dims, and ran a two-stage
+    # grouped average — per iteration, one full interpreted scan plus a
+    # shuffle for what is a k x d summary (guide §4.2, §2.3).
+    part_schema = ("pid int, cell int, n bigint, sums array<double>")
+
     for _ in range(iters):
-        assigned = df.select(
-            F.col(vec_col).alias("v"),
-            _argmin_cell(vec_col, centroids).alias("cell"),
-        )
-        rows = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new = {}
+        C = [list(map(float, c)) for c in centroids]
+
+        def partials(it):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            k = len(C)
+            cnt = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, dim))
+            seen = False
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                seen = True
+                V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                cell = _np_argmin_cells(_np_cell_dists(V, C))
+                cnt += np.bincount(cell, minlength=k)
+                np.add.at(sums, cell, V)
+            if seen:
+                nz = np.flatnonzero(cnt)
+                yield pd.DataFrame({
+                    "pid": [pid] * len(nz),
+                    "cell": nz.astype("int32"),
+                    "n": cnt[nz],
+                    "sums": [sums[i].tolist() for i in nz],
+                })
+
+        rows = src.mapInPandas(partials, part_schema).collect()
+        rows.sort(key=lambda r: (r.cell, r.pid))
+        tot_n = np.zeros(n_centroids, dtype=np.int64)
+        tot_s = np.zeros((n_centroids, dim))
         for r in rows:
-            new.setdefault(int(r.cell), {})[int(r.pos)] = float(r.m)
+            tot_n[r.cell] += r.n
+            tot_s[r.cell] += np.asarray(r.sums)
         centroids = [
-            ([new[i][p] for p in sorted(new[i])] if i in new
+            ((tot_s[i] / tot_n[i]).tolist() if tot_n[i] > 0
              else centroids[i])
             for i in range(n_centroids)
         ]
@@ -182,58 +278,78 @@ def ivf_topk(
     cell probed), which is the DuckDB-oracle-checkable configuration;
     recall at small ``nprobe`` is measured in tests/ against
     :func:`cosine_topk`."""
+    import numpy as np
+    import pandas as pd
+
     if centroids is None:
         centroids = train_ivf_centroids(
             df, n_centroids, iters, id_col, vec_col)
     nprobe = min(nprobe, len(centroids))
+    C = [[float(x) for x in c] for c in centroids]
 
-    assigned = df.select(
-        F.col(id_col), F.col(vec_col),
-        _argmin_cell(vec_col, centroids).alias("cell"),
-    )
-    probes = assigned.where(F.col(id_col).isin(list(probe_ids))).select(
+    # assignment + probe-cell fanout + pair cosine all run as vectorized
+    # mapInPandas batches (numpy twins of the former interpreted HOF
+    # expressions — see _np_cell_dists; identical fold order, identical
+    # tie-breaks, so the output is bit-equal) — measured 7 s -> ~1 s for
+    # the probe query at 2000x64, k=8
+    assigned = _assign_cells(df, C, id_col, vec_col)
+
+    probes = df.where(F.col(id_col).isin(list(probe_ids))).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
     )
-    # probe -> its nprobe nearest cells (tiny: |probes| x k rows)
-    pd_cells = probes.select(
-        "probe_id", "pvec",
-        F.array(*[
-            d.alias(f"d{i}")
-            for i, d in enumerate(_centroid_dists("pvec", centroids))
-        ]).alias("cd"),
-    ).select(
-        "probe_id", "pvec",
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.zip_with(
-                        F.col("cd"),
-                        F.array(*[F.lit(i) for i in range(len(centroids))]),
-                        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                    )
-                ),
-                lambda s: s["i"],
-            ),
-            1, nprobe,
-        ).alias("cells"),
-    ).select("probe_id", "pvec", F.explode("cells").alias("cell"))
+
+    def probe_cells(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["pvec"].tolist(), dtype=np.float64)
+            D = _np_cell_dists(V, C)
+            out = {"probe_id": [], "pvec": [], "cell": []}
+            for r0 in range(len(pdf)):
+                # sort by (distance, index): ties -> lowest cell, the
+                # array_sort struct order of the former expression
+                order = np.lexsort((np.arange(D.shape[1]), D[r0]))
+                for c0 in order[:nprobe]:
+                    out["probe_id"].append(pdf["probe_id"].iat[r0])
+                    out["pvec"].append(pdf["pvec"].iat[r0])
+                    out["cell"].append(int(c0))
+            yield pd.DataFrame(out)
+
+    pd_cells = probes.mapInPandas(
+        probe_cells, "probe_id long, pvec array<double>, cell int")
 
     cand = assigned.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
         "cell",
     )
-    sims = (
+    pairs = (
         cand.join(F.broadcast(pd_cells), "cell")
         .where(F.col("cand_id") != F.col("probe_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("pvec"), F.col("cvec"))
-                / (_norm(F.col("pvec")) * _norm(F.col("cvec"))),
-                6,
-            ),
-        )
+        .select("probe_id", "cand_id", "pvec", "cvec")
     )
+
+    def pair_cosine(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            P = np.array(pdf["pvec"].tolist(), dtype=np.float64)
+            Cv = np.array(pdf["cvec"].tolist(), dtype=np.float64)
+            d = P.shape[1]
+            dot = np.zeros(len(pdf))
+            pn = np.zeros(len(pdf))
+            cn = np.zeros(len(pdf))
+            for j in range(d):
+                dot = dot + P[:, j] * Cv[:, j]
+                pn = pn + P[:, j] * P[:, j]
+                cn = cn + Cv[:, j] * Cv[:, j]
+            cos = dot / (np.sqrt(pn) * np.sqrt(cn))
+            yield pd.DataFrame({"probe_id": pdf["probe_id"],
+                                "cand_id": pdf["cand_id"],
+                                "cos_raw": cos})
+
+    sims = pairs.mapInPandas(
+        pair_cosine, "probe_id long, cand_id long, cos_raw double"
+    ).withColumn("cosine", F.round(F.col("cos_raw"), 6))
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cosine"), F.asc("cand_id")
     )
@@ -257,10 +373,7 @@ def write_ivf_index(
     a probe touching ``nprobe`` of ``n_centroids`` cells physically
     reads ~``nprobe/n_centroids`` of the table, enforced by the scan's
     PartitionFilters (asserted in tests), not by a post-scan filter."""
-    assigned = df.select(
-        F.col(id_col), F.col(vec_col),
-        _argmin_cell(vec_col, centroids).alias("cell"),
-    )
+    assigned = _assign_cells(df, centroids, id_col, vec_col)
     assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
 
 
