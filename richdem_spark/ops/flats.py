@@ -85,8 +85,72 @@ _DIST2_SCHEMA = StructType(
         StructField("dist_hi", BinaryType(), False),  # away-from-higher
         StructField("dist_lo", BinaryType(), False),  # towards-lower
         StructField("changed", IntegerType(), False),
+        # dual-plane border strips (hi bytes ++ lo bytes per side) so
+        # each round's halo exchange is assembled in the JVM — no Python
+        # strip-emission pass over the distance blobs per round
+        StructField("hs_n", BinaryType(), True),
+        StructField("hs_s", BinaryType(), True),
+        StructField("hs_w", BinaryType(), True),
+        StructField("hs_e", BinaryType(), True),
     ]
 )
+
+
+def _dual_strips(out: dict, hi, lo) -> None:
+    import numpy as np
+
+    from ..tiles import pack as _p
+
+    out["hs_n"].append(_p(hi[0, :]) + _p(lo[0, :]))
+    out["hs_s"].append(_p(hi[-1, :]) + _p(lo[-1, :]))
+    out["hs_w"].append(_p(np.ascontiguousarray(hi[:, 0]))
+                       + _p(np.ascontiguousarray(lo[:, 0])))
+    out["hs_e"].append(_p(np.ascontiguousarray(hi[:, -1]))
+                       + _p(np.ascontiguousarray(lo[:, -1])))
+
+
+def _jvm_dual_strip_table(dist_df, ntx: int, nty: int):
+    """(receiver tile, slot, dual strip) rows from the carried strip
+    columns — the JVM twin of the former ``emit_dual`` Python pass.
+    Corner pieces concatenate the hi and lo corner elements so the
+    receiver's byte-midpoint split still separates the planes."""
+    isz = 8  # int64 distances
+
+    def dual_first(col: str):
+        return F.expr(
+            f"concat(substring({col}, 1, {isz}), "
+            f"substring({col}, width * {isz} + 1, {isz}))")
+
+    def dual_last(col: str):
+        return F.expr(
+            f"concat(substring({col}, (width - 1) * {isz} + 1, {isz}), "
+            f"substring({col}, (2 * width - 1) * {isz} + 1, {isz}))")
+
+    entries = [
+        (3, 0, 1, F.col("hs_s")),
+        (7, 0, -1, F.col("hs_n")),
+        (1, 1, 0, F.col("hs_e")),
+        (5, -1, 0, F.col("hs_w")),
+        (2, 1, 1, dual_last("hs_s")),
+        (4, -1, 1, dual_first("hs_s")),
+        (8, 1, -1, dual_last("hs_n")),
+        (6, -1, -1, dual_first("hs_n")),
+    ]
+    pieces = F.array(*[
+        F.struct(
+            (F.col("tile_x") + dx).alias("tile_x"),
+            (F.col("tile_y") + dy).alias("tile_y"),
+            F.lit(slot).alias("slot"),
+            strip.alias("strip"),
+        )
+        for slot, dx, dy, strip in entries
+    ])
+    return (
+        dist_df.select(F.explode(pieces).alias("p"))
+        .select("p.tile_x", "p.tile_y", "p.slot", "p.strip")
+        .where((F.col("tile_x") >= 0) & (F.col("tile_x") < ntx)
+               & (F.col("tile_y") >= 0) & (F.col("tile_y") < nty))
+    )
 
 
 def _shifts(h, w, topology: str = TOPO_D8):
@@ -418,6 +482,7 @@ def resolve_flats_distributed(
                 out["dist_hi"].append(pack(planes[0]))
                 out["dist_lo"].append(pack(planes[1]))
                 out["changed"].append(1)
+                _dual_strips(out, planes[0], planes[1])
             yield pd.DataFrame(out)
 
     _t0 = _time.perf_counter()
@@ -428,37 +493,6 @@ def resolve_flats_distributed(
 
     ntx_, nty_ = meta.ntiles_x, meta.ntiles_y
 
-    def emit_dual(it):
-        """Facing strips of BOTH planes in one pass: per slot the hi
-        strip bytes then the lo strip bytes (equal shapes, split at the
-        byte midpoint on assembly)."""
-        for pdf in it:
-            out = {"tile_x": [], "tile_y": [], "slot": [], "strip": []}
-            for r in pdf.itertuples():
-                hi = unpack(r.dist_hi, r.height, r.width, "int64")
-                lo = unpack(r.dist_lo, r.height, r.width, "int64")
-                pieces = {
-                    3: np.s_[-1:, :], 7: np.s_[:1, :],
-                    1: np.s_[:, -1:], 5: np.s_[:, :1],
-                    2: np.s_[-1:, -1:], 4: np.s_[-1:, :1],
-                    8: np.s_[:1, -1:], 6: np.s_[:1, :1],
-                }
-                for slot, sl_ in pieces.items():
-                    tx2 = r.tile_x - int(D8X[slot])
-                    ty2 = r.tile_y - int(D8Y[slot])
-                    if 0 <= tx2 < ntx_ and 0 <= ty2 < nty_:
-                        out["tile_x"].append(tx2)
-                        out["tile_y"].append(ty2)
-                        out["slot"].append(slot)
-                        out["strip"].append(pack(hi[sl_]) + pack(lo[sl_]))
-            yield pd.DataFrame(out)
-
-    halo_schema = StructType([
-        StructField("tile_x", IntegerType(), False),
-        StructField("tile_y", IntegerType(), False),
-        StructField("slot", IntegerType(), False),
-        StructField("strip", BinaryType(), False),
-    ])
     from ..tiles import HALO_BROADCAST_MAX_BYTES
 
     perim_bytes = ntx_ * nty_ * 2 * (meta.tile_w + meta.tile_h) * 8 * 4
@@ -469,10 +503,13 @@ def resolve_flats_distributed(
     for _ in range(max_rounds):
         _rounds += 1
         _tr0 = _time.perf_counter()
-        packed = dist_df.mapInPandas(emit_dual, halo_schema) \
-            .groupBy("tile_x", "tile_y").agg(
-                F.collect_list(F.struct("slot", "strip"))
-                .alias("dist_halo"))
+        packed = _jvm_dual_strip_table(
+            dist_df.select("tile_x", "tile_y", "width",
+                           "hs_n", "hs_s", "hs_w", "hs_e"),
+            ntx_, nty_,
+        ).groupBy("tile_x", "tile_y").agg(
+            F.collect_list(F.struct("slot", "strip"))
+            .alias("dist_halo"))
         if perim_bytes <= HALO_BROADCAST_MAX_BYTES:
             packed = F.broadcast(packed)
         joined = st2.select(
@@ -537,6 +574,7 @@ def resolve_flats_distributed(
                     out["dist_hi"].append(pack(news[0]))
                     out["dist_lo"].append(pack(news[1]))
                     out["changed"].append(changed)
+                    _dual_strips(out, news[0], news[1])
                 yield pd.DataFrame(out)
 
         # lazy localCheckpoint: the changed-count agg below is the

@@ -313,8 +313,15 @@ def knn_join_cells(
         )
         w_rank = Window.partitionBy("point_id").orderBy(
             "dist_deg", "site_id")
+        # each ring's ranked set feeds three consumers (the settled
+        # output, the settle test, the anti-join that defines the next
+        # ring's input) and the next ring's isEmpty() is an action —
+        # without materialization every ring RE-RUNS all previous
+        # rings' joins, and the final action re-runs the lot again
+        # (guide §1.2).  localCheckpoint pins each ring's small result
+        # (<= k rows/point) and truncates the lineage.
         ranked = cand.withColumn("rank", F.row_number().over(w_rank)) \
-            .where(F.col("rank") <= k)
+            .where(F.col("rank") <= k).localCheckpoint(eager=True)
         stats = ranked.groupBy("point_id").agg(
             F.count(F.lit(1)).alias("n"),
             F.max("dist_deg").alias("dk"),
@@ -326,7 +333,7 @@ def knn_join_cells(
         # (distance, site_id) tie rule of the broadcast knn_join.
         settled_ids = stats.where(
             (F.col("n") >= k) & (F.col("dk") < ring * cell_h)
-        ).select("point_id")
+        ).select("point_id").localCheckpoint(eager=True)
         # NO forced broadcast here: at scale MOST points settle in ring 1,
         # so settled_ids is proportional to the full point table —
         # broadcasting it is an executor-OOM risk at 100 TB.  Left to
@@ -336,7 +343,8 @@ def knn_join_cells(
             ranked.join(settled_ids, "point_id", "left_semi")
             .select("point_id", "site_id", "rank", "dist_deg")
         )
-        remaining = remaining.join(settled_ids, "point_id", "left_anti")
+        remaining = remaining.join(settled_ids, "point_id", "left_anti") \
+            .localCheckpoint(eager=True)
 
     # pathological remainder: full join (tiny left side by construction)
     if not remaining.isEmpty():
