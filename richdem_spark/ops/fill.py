@@ -534,20 +534,30 @@ def fill_depressions(
         # pass-through fast path selection stays JVM-side: a tile needs
         # the Python raise pass only if some label's water level exceeds
         # the tile's minimum filled elevation
-        if need_tids is not None:
-            need_df = spark.createDataFrame(
-                [(int(t),) for t in need_tids],
-                StructType([StructField("tid", IntegerType(), False)]))
+        if need_tids is not None and len(need_tids) <= 256:
+            # small set: plain isin predicates — no DataFrame build, no
+            # broadcast-exchange jobs
+            lst = [int(t) for t in need_tids]
+            passthrough = r1k.where(~F.col("tid").isin(lst)) \
+                .select(*tile_cols, *strip_alias)
+            r1k = r1k.where(F.col("tid").isin(lst))
         else:
-            need_df = (
-                lvl_flat.groupBy("tid").agg(F.max("level").alias("mx"))
-                .join(r1k.select("tid", "zmin"), "tid")
-                .where(F.col("mx") > F.col("zmin"))
-                .select("tid")
-            )
-        passthrough = r1k.join(F.broadcast(need_df), "tid",
-                               "left_anti").select(*tile_cols, *strip_alias)
-        r1k = r1k.join(F.broadcast(need_df), "tid", "left_semi")
+            if need_tids is not None:
+                need_df = spark.createDataFrame(
+                    [(int(t),) for t in need_tids],
+                    StructType([StructField("tid", IntegerType(),
+                                            False)]))
+            else:
+                need_df = (
+                    lvl_flat.groupBy("tid").agg(F.max("level").alias("mx"))
+                    .join(r1k.select("tid", "zmin"), "tid")
+                    .where(F.col("mx") > F.col("zmin"))
+                    .select("tid")
+                )
+            passthrough = r1k.join(
+                F.broadcast(need_df), "tid",
+                "left_anti").select(*tile_cols, *strip_alias)
+            r1k = r1k.join(F.broadcast(need_df), "tid", "left_semi")
 
     joined = (
         r1k.join(F.broadcast(lvl_df), "tid", "left")

@@ -42,6 +42,7 @@ from pyspark.sql.types import (
 from ..constants import D8X, D8Y, FLOWDIR_NO_DATA, NO_FLOW, TOPO_D8
 from ..kernels.ccl import label_components
 from ..tiles import (
+    TILE_HALO_SCHEMA,
     TILE_SCHEMA,
     RasterMeta,
     TiledRaster,
@@ -191,12 +192,17 @@ def _local_bfs(dist: np.ndarray, allowed: np.ndarray,
 
 
 def _labels_raster(st, meta: RasterMeta) -> TiledRaster:
+    # the state frame already packs the label border strips — alias
+    # them as HALO_STRIP_COLS so halo_join assembles the label halo in
+    # the JVM (no Python pass over the label blobs)
     return TiledRaster(
         st.select(
             "tile_x", "tile_y", "width", "height",
             F.lit("int64").alias("dtype"),
             F.lit(None).cast("double").alias("nodata"),
             F.col("labels").alias("data"),
+            F.col("lab_n").alias("hs_n"), F.col("lab_s").alias("hs_s"),
+            F.col("lab_w").alias("hs_w"), F.col("lab_e").alias("hs_e"),
         ),
         meta,
     )
@@ -659,7 +665,8 @@ def resolve_flats_distributed(
     def combine(it):
         for pdf in it:
             out = {k: [] for k in ("tile_x", "tile_y", "width", "height",
-                                   "dtype", "nodata", "data")}
+                                   "dtype", "nodata", "data",
+                                   "hs_n", "hs_s", "hs_w", "hs_e")}
             for r in pdf.itertuples():
                 labels = unpack(r.labels, r.height, r.width, "int64")
                 aw = unpack(r.away, r.height, r.width, "int64")
@@ -688,10 +695,15 @@ def resolve_flats_distributed(
                 out["height"].append(r.height)
                 out["dtype"].append("int64")
                 out["nodata"].append(-1.0)
-                out["data"].append(pack(mask.astype(np.int64)))
+                m64 = mask.astype(np.int64)
+                out["data"].append(pack(m64))
+                out["hs_n"].append(pack(m64[0, :]))
+                out["hs_s"].append(pack(m64[-1, :]))
+                out["hs_w"].append(pack(np.ascontiguousarray(m64[:, 0])))
+                out["hs_e"].append(pack(np.ascontiguousarray(m64[:, -1])))
             yield pd.DataFrame(out)
 
-    mask_df = mask_join.mapInPandas(combine, TILE_SCHEMA)
+    mask_df = mask_join.mapInPandas(combine, TILE_HALO_SCHEMA)
     mask_tr = TiledRaster(
         mask_df,
         RasterMeta(
@@ -706,6 +718,8 @@ def resolve_flats_distributed(
             F.lit("int64").alias("dtype"),
             F.lit(None).cast("double").alias("nodata"),
             F.col("labels").alias("data"),
+            F.col("lab_n").alias("hs_n"), F.col("lab_s").alias("hs_s"),
+            F.col("lab_w").alias("hs_w"), F.col("lab_e").alias("hs_e"),
         ),
         RasterMeta(
             width=meta.width, height=meta.height, tile_w=meta.tile_w,

@@ -213,8 +213,6 @@ def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
 
     The guard is not silent: :func:`ngram_guard_metrics` reports the
     stop-shingles and posting rows the same cap drops."""
-    from pyspark.sql.window import Window
-
     postings = sh.groupBy("shingle").agg(
         F.collect_set(F.col(id_col)).alias("ids")
     )
@@ -229,23 +227,27 @@ def ngram_jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
     # the intersections, once per join side of sizes), recomputing the
     # full shingle explode + groupBy each time (guide §2.4/§1.2: the
     # physical plan had 3 parquet scans and 5 exchanges for what is one
-    # aggregation tree).  The sizes are read back from the counts table
-    # with two windows (partition by a, then by b) instead of joins, so
-    # the plan is a single linear chain: scan -> shingle exchange ->
-    # pair exchange -> two small window exchanges.
+    # aggregation tree).  localCheckpoint pins the counts table so the
+    # sizes branch reads it instead of recomputing (an RDD checkpoint,
+    # not persist(): a cached plan would be silently REUSED by the next
+    # identical invocation — cross-run result caching); the joins are
+    # left to AQE, which broadcasts the sizes side when its runtime
+    # stats say it fits and falls back to shuffle joins at corpus scale.
     counts = (
         postings.select(F.explode("ids").alias("a"), F.col("ids"))
         .select("a", F.explode("ids").alias("b"))
         .where(F.col("a") <= F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("i"))
-    )
-    diag = F.when(F.col("a") == F.col("b"), F.col("i"))
+    ).localCheckpoint(eager=True)
+    sizes = counts.where(F.col("a") == F.col("b")).select(
+        F.col("a").alias("d"), F.col("i").alias("sz"))
     out = (
-        counts
-        .withColumn("sza", F.max(diag).over(Window.partitionBy("a")))
-        .withColumn("szb", F.max(diag).over(Window.partitionBy("b")))
-        .where(F.col("a") < F.col("b"))
+        counts.where(F.col("a") < F.col("b"))
+        .join(sizes.withColumnRenamed("d", "a")
+              .withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("d", "b")
+              .withColumnRenamed("sz", "szb"), "b")
         .withColumn(
             "jaccard",
             F.round(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")),
@@ -422,8 +424,12 @@ def near_dup_clusters(
             .groupBy("x")
             .agg(F.min("nl").alias("nmin"))
         )
+        # carry the pre-round label through the round so the
+        # convergence check is a filter over the checkpointed frame,
+        # not another join back to the previous labels
         prop = labels.join(nbr, "x", "left").select(
             "x",
+            F.col("lbl").alias("old"),
             F.least("lbl", F.coalesce("nmin", "lbl")).alias("lbl"),
         )
         # pointer doubling: jump to my label's label
@@ -432,14 +438,11 @@ def near_dup_clusters(
                         F.col("lbl").alias("ll")),
             "lbl", "left",
         ).select(
-            "x", F.least("lbl", F.coalesce("ll", "lbl")).alias("lbl")
+            "x", "old",
+            F.least("lbl", F.coalesce("ll", "lbl")).alias("lbl"),
         ).localCheckpoint(eager=True)
-        n_changed = (
-            hop.join(labels.select("x", F.col("lbl").alias("old")), "x")
-            .where(F.col("lbl") != F.col("old"))
-            .count()
-        )
-        labels = hop
+        n_changed = hop.where(F.col("lbl") != F.col("old")).count()
+        labels = hop.select("x", "lbl")
         if n_changed == 0:
             break
     edges.unpersist()
