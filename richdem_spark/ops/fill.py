@@ -472,6 +472,7 @@ def fill_depressions(
     lvl_struct = ArrayType(StructType([StructField("label", LongType()),
                                        StructField("level", DoubleType())]))
     need_tids: list[int] | None = None
+    lvl_map: dict[int, list] | None = None
     if driver_solved:
         # the solve ran on the driver, so the per-tile level lists and
         # the needs-raise tile set are already in hand — build both as
@@ -480,19 +481,28 @@ def fill_depressions(
         # max/join/filter subtree over r1 for need_df: three extra
         # broadcast-build jobs per fill at bench scale, each paying the
         # full Python-stage floor; guide §1.2 — remove passes that
-        # recompute what the driver already knows)
+        # recompute what the driver already knows).  Small solves skip
+        # even the literal DataFrame: the level lists ride in the
+        # round-2 closure (a few KB pickled per task) — no
+        # createDataFrame, no broadcast-exchange job, no join.
         if lvl_rows:
             by_tid: dict[int, list] = {}
             for tid_, lab_, lev_ in lvl_rows:
-                by_tid.setdefault(tid_, []).append((lab_, lev_))
-            lvl_df = spark.createDataFrame(
-                list(by_tid.items()),
-                StructType([StructField("tid", IntegerType(), False),
-                            StructField("levels", lvl_struct)]))
+                by_tid.setdefault(tid_, []).append(
+                    {"label": lab_, "level": lev_})
             need_tids = [
                 t for t, v in by_tid.items()
-                if max(lv for _, lv in v) > zmin_of[t]
+                if max(s["level"] for s in v) > zmin_of[t]
             ]
+            if len(lvl_rows) <= 10_000:
+                lvl_map = by_tid
+                lvl_df = None
+            else:
+                lvl_df = spark.createDataFrame(
+                    [(t, [(s["label"], s["level"]) for s in v])
+                     for t, v in by_tid.items()],
+                    StructType([StructField("tid", IntegerType(), False),
+                                StructField("levels", lvl_struct)]))
         else:
             lvl_df = None
     else:
@@ -524,7 +534,7 @@ def fill_depressions(
     if not epsilon:
         tile_cols = ["tile_x", "tile_y", "width", "height", "dtype",
                      "nodata", "data"]
-        if lvl_df is None:
+        if lvl_df is None and lvl_map is None:
             return TiledRaster(
                 r1.select(*tile_cols, *strip_alias),
                 meta.with_history(
@@ -559,13 +569,12 @@ def fill_depressions(
                 "left_anti").select(*tile_cols, *strip_alias)
             r1k = r1k.join(F.broadcast(need_df), "tid", "left_semi")
 
-    joined = (
-        r1k.join(F.broadcast(lvl_df), "tid", "left")
-        if lvl_df is not None
-        else r1k.withColumn("levels", F.lit(None).cast(
-            ArrayType(StructType([StructField("label", LongType()),
-                                  StructField("level", DoubleType())]))))
-    )
+    if lvl_map is not None:
+        joined = r1k          # levels ride in the round-2 closure
+    elif lvl_df is not None:
+        joined = r1k.join(F.broadcast(lvl_df), "tid", "left")
+    else:
+        joined = r1k.withColumn("levels", F.lit(None).cast(lvl_struct))
 
     eps = bool(epsilon)
 
@@ -584,7 +593,10 @@ def fill_depressions(
                     r.data, r.height, r.width, "float64"
                 ).copy()
                 labels = unpack(r.labels, r.height, r.width, "int64")
-                levels = r.levels
+                levels = (
+                    lvl_map.get(int(r.tile_y) * ntx + int(r.tile_x))
+                    if lvl_map is not None else r.levels
+                )
                 if levels is not None and len(levels):
                     lk = np.array([int(s["label"]) for s in levels],
                                   dtype=np.int64)
