@@ -444,6 +444,7 @@ def _finish_accumulation(r1, meta: RasterMeta, spark) -> TiledRaster:
     )
     from .solve import driver_solve_max
 
+    off_map = None
     if perim_estimate <= driver_solve_max(spark, DRIVER_SOLVE_MAX_PERIM):
         # Arrow collect: the perimeter rows carry ~128 KB of packed
         # strips per tile (134 MB at 1024 tiles); toPandas moves them
@@ -453,10 +454,18 @@ def _finish_accumulation(r1, meta: RasterMeta, spark) -> TiledRaster:
         perim = list(r1.select(*perim_cols).toPandas()
                      .itertuples(index=False))
         off_rows = offsets_to_rows(_solve_perimeter_graph(perim, meta))
-        off_df = (
-            spark.createDataFrame(off_rows, off_schema)
-            if off_rows else None
-        )
+        n_offsets = sum(len(r[2]) for r in off_rows)
+        if off_rows and n_offsets <= 10_000:
+            # small solve: offsets ride in the round-2 closure — no
+            # createDataFrame, no broadcast-exchange job, no join
+            off_map = {(r[0], r[1]): (r[2], r[3], r[4])
+                       for r in off_rows}
+            off_df = None
+        else:
+            off_df = (
+                spark.createDataFrame(off_rows, off_schema)
+                if off_rows else None
+            )
     else:
         def exec_solve(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from collections import namedtuple
@@ -479,7 +488,9 @@ def _finish_accumulation(r1, meta: RasterMeta, spark) -> TiledRaster:
         if off_df.rdd.isEmpty():
             off_df = None
 
-    if off_df is not None:
+    if off_map is not None:
+        joined = r1           # offsets ride in the round-2 closure
+    elif off_df is not None:
         joined = r1.join(F.broadcast(off_df), ["tile_x", "tile_y"], "left")
     else:
         joined = (
@@ -495,10 +506,15 @@ def _finish_accumulation(r1, meta: RasterMeta, spark) -> TiledRaster:
                 "dtype", "nodata", "data")}
             for r in pdf.itertuples():
                 acc = unpack(r.accum, r.height, r.width, "float64").copy()
-                if r.ox is not None and len(r.ox):
+                if off_map is not None:
+                    ox, oy, oval = off_map.get(
+                        (int(r.tile_x), int(r.tile_y)), ((), (), ()))
+                else:
+                    ox, oy, oval = r.ox, r.oy, r.oval
+                if ox is not None and len(ox):
                     d = unpack(r.dirs, r.height, r.width, "uint8")
                     inj = np.zeros((r.height, r.width))
-                    for x, y, v in zip(r.ox, r.oy, r.oval):
+                    for x, y, v in zip(ox, oy, oval):
                         inj[y, x] += v
                     add = d8_flow_accum(d, weights=inj)
                     add[add < 0] = 0.0  # NoData markers from the kernel
