@@ -33,7 +33,11 @@ def FillDepressions(
     (Barnes2014.hpp:335-420); multi-tile rasters apply plain fill + the
     distributed flat resolution's nextafter gradients
     (flat_resolution.hpp:545-582) — the reference's own principled
-    alternative, exact across tile seams."""
+    alternative, exact across tile seams.
+
+    The multi-tile epsilon result is returned MATERIALIZED AND
+    PERSISTED (its intermediates are released in exchange); callers
+    that are done with it should ``.unpersist()`` it."""
     m = tr.meta
     multi = m.ntiles_x > 1 or m.ntiles_y > 1
     if not epsilon or not multi:

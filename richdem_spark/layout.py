@@ -64,7 +64,13 @@ def parse_layoutfile(layout_path: str) -> list[list[str | None]]:
         raw.pop()
     if not raw:
         raise ValueError(f"empty layout file {layout_path}")
-    ncols = max(len(r) for r in raw)
+    # column count comes from rows that NAME tiles: a blank separator
+    # row may carry any number of delimiters (',,,' from spreadsheet
+    # exports) without widening — or narrowing — the grid
+    named = [r for r in raw if any(r)]
+    if not named:
+        raise ValueError(f"empty layout file {layout_path}")
+    ncols = max(len(r) for r in named)
     grid: list[list[str | None]] = []
     for r in raw:
         if not any(r):

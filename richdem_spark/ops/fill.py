@@ -424,10 +424,7 @@ def fill_depressions(
             int(r.tile_y) * ntx + int(r.tile_x): float(r.zmin)
             for r in perim
         }
-        lvl_flat = (
-            spark.createDataFrame(lvl_rows, lvl_schema)
-            if lvl_rows else None
-        )
+        lvl_flat = None  # driver path never reads the flat frame
     else:
         in_tile_edges = r1.select(
             F.explode(F.arrays_zip("edge_a", "edge_b", "edge_z")).alias("e")

@@ -194,7 +194,12 @@ def _local_bfs(dist: np.ndarray, allowed: np.ndarray,
 def _labels_raster(st, meta: RasterMeta) -> TiledRaster:
     # the state frame already packs the label border strips — alias
     # them as HALO_STRIP_COLS so halo_join assembles the label halo in
-    # the JVM (no Python pass over the label blobs)
+    # the JVM (no Python pass over the label blobs).  The meta MUST
+    # carry the LABEL dtype (int64), not the DEM's: halo_join's JVM
+    # corner extraction slices by meta dtype itemsize, and a float32
+    # DEM meta would cut 4-byte corners out of 8-byte label strips.
+    from dataclasses import replace as _replace
+
     return TiledRaster(
         st.select(
             "tile_x", "tile_y", "width", "height",
@@ -204,7 +209,7 @@ def _labels_raster(st, meta: RasterMeta) -> TiledRaster:
             F.col("lab_n").alias("hs_n"), F.col("lab_s").alias("hs_s"),
             F.col("lab_w").alias("hs_w"), F.col("lab_e").alias("hs_e"),
         ),
-        meta,
+        _replace(meta, dtype="int64", nodata=None),
     )
 
 

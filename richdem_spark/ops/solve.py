@@ -29,12 +29,19 @@ DRIVER_SOLVE_MAX_ROWS = (
 
 
 def _mem_bytes(s: str) -> int:
+    """Parse a Spark memory string: accepts k/m/g/t and kb/mb/gb/tb
+    suffixes (JavaUtils.byteStringAs does both); a unitless value is
+    MiB, matching how Spark reads driver/executor memory confs."""
     s = str(s).strip().lower()
-    for u, f in (("k", 2**10), ("m", 2**20), ("g", 2**30), ("t", 2**40),
-                 ("b", 1)):
-        if s.endswith(u):
-            return int(float(s[:-1]) * f)
-    return int(s)
+    units = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+    if s.endswith("b"):
+        s2 = s[:-1]
+        if s2 and s2[-1] in units:
+            return int(float(s2[:-1]) * units[s2[-1]])
+        return int(float(s2))          # plain bytes: "512b"
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(float(s) * 2**20)       # unitless memory conf = MiB
 
 
 def derived_driver_solve_max(spark) -> int:

@@ -151,7 +151,10 @@ def strahler_order_tiled(
         # times, so the grid diameter is NOT a bound.  On an acyclic
         # direction field a path never revisits a cell, so crossings
         # are bounded by the total seam-cell count — use that (+slack)
-        # and only then declare a cross-tile cycle.
+        # and only then declare a cross-tile cycle.  This bound is
+        # sound but enormous at scale; to DETECT corrupt (cyclic)
+        # direction fields early, run LoopCheck (api.LoopCheck /
+        # rd_loop_check) beforehand rather than waiting it out.
         max_rounds = (
             2 * meta.ntiles_x * meta.ntiles_y
             * (meta.tile_w + meta.tile_h) + 8

@@ -259,7 +259,14 @@ def knn_join_cells(
     the top-k is final.  Unsettled points retry with the next larger R;
     the (tiny) pathological remainder finishes against the full site
     table.  Ties break on (distance, site_id), identical to the
-    broadcast ``knn_join``."""
+    broadcast ``knn_join``.
+
+    Each ring's ranked/settled/remaining frames are localCheckpointed
+    (truncating lineage so ring N does not re-run rings 1..N-1);
+    localCheckpoint trades fault tolerance for speed — blocks live on
+    executors and are not recomputable — so consume the result
+    promptly.  Superseded per-ring state is released as the loop
+    advances."""
     cell_h = 180.0 / (1 << level)
 
     # JVM cell key (no per-row python): replicate cell_id's binning
@@ -343,8 +350,15 @@ def knn_join_cells(
             ranked.join(settled_ids, "point_id", "left_semi")
             .select("point_id", "site_id", "rank", "dist_deg")
         )
+        prev_remaining = remaining
         remaining = remaining.join(settled_ids, "point_id", "left_anti") \
             .localCheckpoint(eager=True)
+        # the new checkpoint truncates lineage, so the superseded ring's
+        # remaining blocks can be released (ranked/settled checkpoints
+        # must outlive the caller's action and are left pinned — the
+        # localCheckpoint durability trade-off, documented above)
+        if prev_remaining is not pts:
+            prev_remaining.unpersist()
 
     # pathological remainder: full join (tiny left side by construction)
     if not remaining.isEmpty():

@@ -43,8 +43,17 @@ def _spread(df: DataFrame) -> DataFrame:
     source is under-parallel; at 100 TB the scan already has orders of
     magnitude more partitions than cores and this is a no-op (no extra
     exchange in the plan).  Project to the needed columns BEFORE calling
-    so only those bytes move (guide §2.3)."""
+    so only those bytes move (guide §2.3).
+
+    Only simple scan-shaped plans are probed: for a frame with an
+    upstream shuffle, reading ``.rdd`` under AQE would execute those
+    shuffle stages eagerly at construction time just to learn a
+    partition count — such inputs are returned unchanged."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if any(k in plan for k in ("Join", "Aggregate", "Repartition",
+                               "Sort", "Window", "Deduplicate")):
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -308,7 +317,10 @@ def simhash64(df: DataFrame, text_col: str = "text",
     agg = toks.groupBy(id_col).agg(*bit_sums)
     fp = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")) \
+        # shiftleft, not a Python literal: 1 << 63 overflows a signed
+        # long literal, while shiftleft(1L, 63) wraps to the sign bit
+        # exactly as the previous formulation did for bits >= 64
+        term = F.when(F.col(f"s{b}") > 0, F.expr(f"shiftleft(1L, {b})")) \
             .otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return agg.select(F.col(id_col), fp.alias("simhash"))

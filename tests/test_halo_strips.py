@@ -70,3 +70,19 @@ def test_jvm_halo_equals_python_halo_eps_fill(dem):
     jvm = FillDepressions(dem, epsilon=True).to_array()
     py = FillDepressions(_strip_cols(dem), epsilon=True).to_array()
     assert np.array_equal(jvm, py)
+
+
+def test_float32_dem_resolve_flats(spark):
+    """Regression (round-6 review): the labels-halo raster must carry an
+    int64 meta dtype — a float32 DEM's 4-byte itemsize would slice
+    4-byte corners out of 8-byte label strips in the JVM halo path."""
+    import numpy as np
+
+    from richdem_spark.api import ResolveFlats
+    from richdem_spark.tiles import raster_from_array
+
+    a = np.ones((24, 24), dtype=np.float32)
+    a[0, :] = 0.5  # drainable edge so the flat resolves
+    tr = raster_from_array(spark, a, tile_w=8, tile_h=8)
+    out = ResolveFlats(tr).to_array()
+    assert out.shape == (24, 24)
